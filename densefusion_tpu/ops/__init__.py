@@ -1,0 +1,21 @@
+"""Custom compute kernels (Pallas TPU + pure-XLA references).
+
+The only native kernel the reference carries is the CUDA K-nearest-neighbour
+library used by the symmetric-object ADD-S loss and eval metric
+(``lib/knn/src/knn_cuda_kernel.cu``). Here it is a tiled Pallas kernel that
+fuses the ``‖a‖²+‖b‖²−2a·b`` distance matmul (MXU) with a running argmin, so
+the Q×R distance matrix never exists in HBM (SURVEY.md §2.2, §5.7).
+"""
+
+from densefusion_tpu.ops.knn import (
+    nearest_neighbor,
+    knn,
+    adds_remap_targets,
+    nearest_neighbor_xla,
+    nearest_neighbor_pallas,
+)
+
+__all__ = [
+    "nearest_neighbor", "knn", "adds_remap_targets",
+    "nearest_neighbor_xla", "nearest_neighbor_pallas",
+]

@@ -1,0 +1,218 @@
+"""Tiled nearest-neighbour search: Pallas TPU kernel + pure-XLA reference.
+
+TPU-native replacement for the reference's CUDA KNN library
+(``lib/knn/src/knn_cuda_kernel.cu:31-170``): a 16x16 shared-memory distance
+kernel plus a per-column insertion sort there; here one fused Pallas kernel —
+for each query-point tile, the squared-distance block ``‖q‖² − 2 q·rᵀ + ‖r‖²``
+is computed as an MXU matmul against reference tiles streamed through VMEM,
+with a running (min-distance, argmin-index) carried across tiles. The Q×R
+distance matrix is never materialized in HBM (flash-attention-style streaming;
+SURVEY.md §5.7).
+
+Semantics: 0-based indices of the nearest `ref` point per `query` point —
+the corrected form of the reference's 1-based-index convention
+(``knn_cuda_kernel.cu:122`` forces callers to subtract 1,
+``tools/eval_linemod.py:127``; we drop that artifact per SURVEY.md §2.2).
+
+Only k=1 is ever used by the reference (``tools/eval_linemod.py:38``); the
+general small-k path is provided via XLA top_k for API parity with
+``KNearestNeighbor(k)`` (``lib/knn/__init__.py:9-23``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_to(x: jax.Array, size: int, axis: int, value=0.0) -> jax.Array:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+# ---------------------------------------------------------------------------
+# Pure-XLA reference (CPU tests, autodiff checks, non-TPU fallback)
+# ---------------------------------------------------------------------------
+
+def nearest_neighbor_xla(query: jax.Array, ref: jax.Array,
+                         chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+    """For each query point return (sq_dist, index) of its nearest ref point.
+
+    query: (Q, 3), ref: (R, 3) -> ((Q,), (Q,)). Chunked over Q so the Q×R
+    distance matrix stays bounded (the training ADD-S branch has Q = N·M up to
+    ~250k per sample).
+    """
+    q, r = query.astype(jnp.float32), ref.astype(jnp.float32)
+    r_sq = jnp.sum(r * r, axis=-1)  # (R,)
+
+    def one_chunk(qc):
+        d = jnp.sum(qc * qc, axis=-1, keepdims=True) - 2.0 * (qc @ r.T) + r_sq
+        return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    n = q.shape[0]
+    if n <= chunk:
+        return one_chunk(q)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    qp = _pad_to(q, n_pad, axis=0).reshape(n_pad // chunk, chunk, 3)
+    dists, idxs = jax.lax.map(one_chunk, qp)
+    return dists.reshape(n_pad)[:n], idxs.reshape(n_pad)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _nn_kernel(q_ref, r_ref, rsq_ref, dist_out, idx_out, *, ref_tile: int,
+               num_ref: int):
+    """One query tile vs. all reference tiles with a running argmin.
+
+    q_ref:    (TQ, 8)   query coords (xyz zero-padded to 8 sublanes of K)
+    r_ref:    (R_pad, 8) all reference coords
+    rsq_ref:  (1, R_pad) reference squared norms (padded entries = +inf)
+    dist_out: (TQ, 1)   min squared distance (unnormalized by q²; monotonic)
+    idx_out:  (TQ, 1)   argmin index (int32)
+    """
+    q = q_ref[:]  # (TQ, 8)
+    num_tiles = num_ref // ref_tile
+
+    def body(t, carry):
+        best_d, best_i = carry
+        r = r_ref[pl.ds(t * ref_tile, ref_tile), :]          # (TR, 8)
+        rsq = rsq_ref[0, pl.ds(t * ref_tile, ref_tile)]      # (TR,)
+        # ‖q−r‖² − ‖q‖² = −2 q·r + ‖r‖²  (monotonic in r for fixed q)
+        scores = rsq[None, :] - 2.0 * jax.lax.dot_general(
+            q, r, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # (TQ, TR)
+        tile_d = jnp.min(scores, axis=-1)                     # (TQ,)
+        tile_i = jnp.argmin(scores, axis=-1).astype(jnp.int32) + t * ref_tile
+        take = tile_d < best_d
+        return jnp.where(take, tile_d, best_d), jnp.where(take, tile_i, best_i)
+
+    init = (jnp.full((q.shape[0],), jnp.inf, jnp.float32),
+            jnp.zeros((q.shape[0],), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
+    dist_out[:] = best_d[:, None]
+    idx_out[:] = best_i[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+def nearest_neighbor_pallas(query: jax.Array, ref: jax.Array,
+                            query_tile: int = 512,
+                            ref_tile: int = 512) -> tuple[jax.Array, jax.Array]:
+    """Pallas fused distance+argmin. query (Q,3), ref (R,3) -> ((Q,), (Q,)).
+
+    Returned distances are exact squared L2 (``q² − 2qr + r²``; the q² term is
+    added back outside the kernel since it does not affect the argmin).
+    """
+    num_q, num_r = query.shape[0], ref.shape[0]
+    q_pad = ((num_q + query_tile - 1) // query_tile) * query_tile
+    r_pad = ((num_r + ref_tile - 1) // ref_tile) * ref_tile
+
+    # Pad K-dim 3 -> 8 (f32 sublane tile) so the MXU contraction is aligned.
+    q = _pad_to(_pad_to(query.astype(jnp.float32), q_pad, 0), 8, 1)
+    r = _pad_to(_pad_to(ref.astype(jnp.float32), r_pad, 0), 8, 1)
+    rsq = jnp.sum(r * r, axis=-1)
+    # Mask padded reference rows out of the argmin.
+    rsq = jnp.where(jnp.arange(r_pad) < num_r, rsq, jnp.inf)[None, :]
+
+    grid = (q_pad // query_tile,)
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel, ref_tile=ref_tile, num_ref=r_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((query_tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * r_pad * 8 + 2 * q_pad * r_pad,
+            bytes_accessed=(q_pad * 8 + r_pad * 8 + r_pad) * 4 + q_pad * 8,
+            transcendentals=0,
+        ),
+    )(q, r, rsq)
+
+    dist = dist[:num_q, 0] + jnp.sum(query.astype(jnp.float32) ** 2, axis=-1)
+    return dist, idx[:num_q, 0]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def nearest_neighbor(query: jax.Array, ref: jax.Array,
+                     backend: str = "auto") -> tuple[jax.Array, jax.Array]:
+    """1-NN: for each query (…, Q, 3) point, (sq_dist, index) of the nearest
+    ref (…, R, 3) point. Batched via vmap over leading dims; dispatches to the
+    Pallas kernel on TPU and the XLA path elsewhere."""
+    if query.ndim != ref.ndim:
+        raise ValueError(f"rank mismatch: {query.shape} vs {ref.shape}")
+    if query.ndim > 2:
+        fn = functools.partial(nearest_neighbor, backend=backend)
+        for _ in range(query.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(query, ref)
+    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
+    if use_pallas:
+        return nearest_neighbor_pallas(query, ref)
+    return nearest_neighbor_xla(query, ref)
+
+
+def knn(query: jax.Array, ref: jax.Array, k: int = 1,
+        backend: str = "auto") -> tuple[jax.Array, jax.Array]:
+    """k-NN returning (sq_dists (…, Q, k), indices (…, Q, k)), ascending.
+
+    API parity with the reference's ``KNearestNeighbor(k)`` wrapper
+    (``lib/knn/__init__.py:9-23``) minus its 1-based indexing. k=1 takes the
+    fused streaming path; small k>1 falls back to top_k over the distance
+    matrix (never needed by the reference pipelines).
+    """
+    if k == 1:
+        d, i = nearest_neighbor(query, ref, backend=backend)
+        return d[..., None], i[..., None]
+    q, r = query.astype(jnp.float32), ref.astype(jnp.float32)
+    d = (jnp.sum(q * q, axis=-1, keepdims=True)
+         - 2.0 * q @ jnp.swapaxes(r, -1, -2)
+         + jnp.sum(r * r, axis=-1)[..., None, :])
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def adds_remap_targets(pred: jax.Array, target: jax.Array,
+                       backend: str = "auto") -> jax.Array:
+    """ADD-S target remap: for each predicted point, substitute its nearest
+    target point (the corrected semantics of the reference's symmetric-object
+    branch, ``lib/loss.py:40-47`` / ``tools/eval_linemod.py:123-128``).
+
+    pred (..., P, 3), target (..., M, 3) -> (..., P, 3).
+    """
+    _, idx = nearest_neighbor(pred, target, backend=backend)
+    return jnp.take_along_axis(target, idx[..., None].astype(jnp.int32), axis=-2)

@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device virtual CPU mesh so every sharding /
+collective path is exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+# Must run before jax initializes its backends.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# Some TPU-tunnel environments force jax_platforms via jax.config.update at
+# interpreter startup (sitecustomize), which overrides the env var; force it
+# back so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

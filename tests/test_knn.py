@@ -1,0 +1,102 @@
+"""KNN kernel tests: XLA path vs brute-force numpy, Pallas kernel in
+interpreter mode vs the XLA path (SURVEY.md §4 'KNN kernel vs brute-force
+jnp reference')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from densefusion_tpu.ops import (
+    nearest_neighbor, nearest_neighbor_xla, knn, adds_remap_targets,
+)
+from densefusion_tpu.ops.knn import nearest_neighbor_pallas
+
+
+def _brute(query, ref):
+    d = ((query[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    return d.min(-1), d.argmin(-1)
+
+
+def test_xla_matches_brute(rng):
+    q = rng.standard_normal((257, 3)).astype(np.float32)
+    r = rng.standard_normal((83, 3)).astype(np.float32)
+    d, i = nearest_neighbor_xla(jnp.asarray(q), jnp.asarray(r))
+    bd, bi = _brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-5)
+
+
+def test_xla_chunked_matches_brute(rng):
+    q = rng.standard_normal((1000, 3)).astype(np.float32)
+    r = rng.standard_normal((50, 3)).astype(np.float32)
+    d, i = nearest_neighbor_xla(jnp.asarray(q), jnp.asarray(r), chunk=256)
+    bd, bi = _brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-4)
+
+
+def test_pallas_interpret_matches_xla(rng):
+    # interpret mode runs the kernel logic on CPU
+    q = rng.standard_normal((600, 3)).astype(np.float32) * 0.5
+    r = rng.standard_normal((500, 3)).astype(np.float32) * 0.5
+    with jax.disable_jit():  # interpret path under disable_jit uses interpreter
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            d, i = nearest_neighbor_pallas(jnp.asarray(q), jnp.asarray(r))
+    bd, bi = _brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-4)
+
+
+def test_batched_nearest_neighbor(rng):
+    q = rng.standard_normal((4, 100, 3)).astype(np.float32)
+    r = rng.standard_normal((4, 37, 3)).astype(np.float32)
+    d, i = nearest_neighbor(jnp.asarray(q), jnp.asarray(r), backend="xla")
+    assert d.shape == (4, 100) and i.shape == (4, 100)
+    for b in range(4):
+        bd, bi = _brute(q[b], r[b])
+        np.testing.assert_array_equal(np.asarray(i[b]), bi)
+
+
+def test_knn_k3_sorted(rng):
+    q = rng.standard_normal((40, 3)).astype(np.float32)
+    r = rng.standard_normal((25, 3)).astype(np.float32)
+    d, i = knn(jnp.asarray(q), jnp.asarray(r), k=3, backend="xla")
+    assert d.shape == (40, 3) and i.shape == (40, 3)
+    dn = np.asarray(d)
+    assert (np.diff(dn, axis=-1) >= -1e-6).all()
+    bd, bi = _brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i[:, 0]), bi)
+
+
+def test_knn_k1_matches_wrapper(rng):
+    q = rng.standard_normal((64, 3)).astype(np.float32)
+    r = rng.standard_normal((32, 3)).astype(np.float32)
+    d, i = knn(jnp.asarray(q), jnp.asarray(r), k=1, backend="xla")
+    bd, bi = _brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i[:, 0]), bi)
+
+
+def test_adds_remap_identity_when_same_cloud(rng):
+    pts = rng.standard_normal((30, 3)).astype(np.float32)
+    out = adds_remap_targets(jnp.asarray(pts), jnp.asarray(pts), backend="xla")
+    np.testing.assert_allclose(np.asarray(out), pts, atol=1e-6)
+
+
+def test_adds_remap_symmetric_invariance(rng):
+    """A rotationally-symmetric ring: rotating the prediction around the axis
+    must leave the ADD-S distance ~0 — the reason the remap exists."""
+    theta = np.linspace(0, 2 * np.pi, 200, endpoint=False)
+    ring = np.stack([np.cos(theta), np.sin(theta), np.zeros_like(theta)], -1)
+    phi = 2 * np.pi / 200 * 3  # rotate by three whole point spacings
+    rot = np.array([[np.cos(phi), -np.sin(phi), 0],
+                    [np.sin(phi), np.cos(phi), 0], [0, 0, 1]])
+    pred = ring @ rot.T
+    remapped = adds_remap_targets(jnp.asarray(pred, dtype=jnp.float32),
+                                  jnp.asarray(ring, dtype=jnp.float32),
+                                  backend="xla")
+    adds = np.linalg.norm(pred - np.asarray(remapped), axis=-1).mean()
+    add = np.linalg.norm(pred - ring, axis=-1).mean()
+    assert adds < add  # remap recognizes the symmetry
+    assert adds < 1e-5  # rotation by whole spacings is an exact symmetry
