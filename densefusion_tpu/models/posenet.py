@@ -1,0 +1,124 @@
+"""PoseNet: dense per-pixel fusion + per-point pose hypothesis heads.
+
+Re-design of ``lib/network.py:39-132`` with two TPU-first deltas:
+
+* **True batching** — the reference hardcodes ``b = 0``
+  (``lib/network.py:123-126``) making its effective batch size 1; here every
+  tensor carries a leading batch dim and per-object head selection is a
+  ``take_along_axis`` over the class axis (gradients flow only into the
+  selected object's slice, matching ``index_select``).
+* **Layout** — point features live in (B, N, C); every 1x1 Conv1d becomes a
+  Dense over the channel axis, which XLA maps straight onto the MXU as one
+  (B·N, C_in) x (C_in, C_out) matmul.
+
+The per-pixel <-> per-point alignment (``gather`` of CNN embeddings at the
+``choose`` indices, ``lib/network.py:98-102``) is a ``take_along_axis`` over
+the flattened H·W axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from densefusion_tpu.models.pspnet import PSPNet
+
+
+class DenseFusionFeat(nn.Module):
+    """Per-point dense fusion pyramid (``PoseNetFeat``, ``lib/network.py:39-68``).
+
+    cloud (B, N, 3) + color emb (B, N, emb_dim) ->
+    [geo64 | col64] (128) ++ [geo128 | col128] (256) ++ global 1024 = 1408.
+    The global feature is an average pool over the point axis, tiled back.
+    """
+
+    @nn.compact
+    def __call__(self, points, emb):
+        g1 = nn.relu(nn.Dense(64, name="geo1")(points))
+        c1 = nn.relu(nn.Dense(64, name="col1")(emb))
+        feat1 = jnp.concatenate([g1, c1], axis=-1)            # (B, N, 128)
+
+        g2 = nn.relu(nn.Dense(128, name="geo2")(g1))
+        c2 = nn.relu(nn.Dense(128, name="col2")(c1))
+        feat2 = jnp.concatenate([g2, c2], axis=-1)            # (B, N, 256)
+
+        x = nn.relu(nn.Dense(512, name="mix1")(feat2))
+        x = nn.relu(nn.Dense(1024, name="mix2")(x))
+        global_feat = jnp.mean(x, axis=-2, keepdims=True)     # (B, 1, 1024)
+        global_feat = jnp.broadcast_to(
+            global_feat, x.shape[:-1] + (1024,))
+        return jnp.concatenate([feat1, feat2, global_feat], axis=-1)  # 1408
+
+
+class _HeadStack(nn.Module):
+    """1408 -> 640 -> 256 -> 128 -> num_obj*out_dim head
+    (``lib/network.py:77-91,107-121``)."""
+
+    num_obj: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(640, name="fc1")(x))
+        x = nn.relu(nn.Dense(256, name="fc2")(x))
+        x = nn.relu(nn.Dense(128, name="fc3")(x))
+        x = nn.Dense(self.num_obj * self.out_dim, name="fc4")(x)
+        return x.reshape(x.shape[:-1] + (self.num_obj, self.out_dim))
+
+
+def select_object(x: jax.Array, obj: jax.Array) -> jax.Array:
+    """(B, N, num_obj, D), obj (B,) int -> (B, N, D): per-sample class-slice
+    selection (batched ``torch.index_select(rx[b], 0, obj[b])``,
+    ``lib/network.py:123-126``)."""
+    idx = obj.astype(jnp.int32)[:, None, None, None]
+    idx = jnp.broadcast_to(idx, (x.shape[0], x.shape[1], 1, x.shape[3]))
+    return jnp.take_along_axis(x, idx, axis=2)[:, :, 0, :]
+
+
+class PoseNet(nn.Module):
+    """Main estimator: (img, points, choose, obj) -> per-point pose hypotheses.
+
+    Args (all batched):
+      img:    (B, H, W, 3) normalized crop (H, W multiples of 8).
+      points: (B, N, 3) back-projected cloud, meters.
+      choose: (B, N) int32 flat pixel indices into the crop's H·W.
+      obj:    (B,) int32 class index.
+
+    Returns dict:
+      pred_r: (B, N, 4) unnormalized quaternions (wxyz).
+      pred_t: (B, N, 3) translation OFFSETS from each observed point
+              (``lib/loss.py:38``: t_i = points_i + pred_t_i).
+      pred_c: (B, N) confidence in (0, 1).
+      emb:    (B, N, emb_dim) color embeddings, stop-gradiented — the refiner
+              consumes them frozen (``lib/network.py:132``).
+    """
+
+    num_obj: int
+    cnn_variant: str = "resnet18"
+    emb_dim: int = 32
+
+    @nn.compact
+    def __call__(self, img, points, choose, obj, train: bool = False):
+        emb_map = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
+                         name="cnn")(img, train=train)
+        b, h, w, d = emb_map.shape
+        flat = emb_map.reshape(b, h * w, d)
+        emb = jnp.take_along_axis(
+            flat, choose.astype(jnp.int32)[..., None], axis=1)  # (B, N, d)
+
+        feat = DenseFusionFeat(name="fusion")(points, emb)      # (B, N, 1408)
+
+        rx = _HeadStack(self.num_obj, 4, name="head_r")(feat)
+        tx = _HeadStack(self.num_obj, 3, name="head_t")(feat)
+        cx = _HeadStack(self.num_obj, 1, name="head_c")(feat)
+
+        pred_r = select_object(rx, obj)
+        pred_t = select_object(tx, obj)
+        pred_c = jax.nn.sigmoid(select_object(cx, obj))[..., 0]
+        return {
+            "pred_r": pred_r,
+            "pred_t": pred_t,
+            "pred_c": pred_c,
+            "emb": jax.lax.stop_gradient(emb),
+        }

@@ -1,0 +1,63 @@
+"""PoseRefineNet: residual pose regression over the canonicalized cloud.
+
+Re-design of ``lib/network.py:136-206``, batched (the reference's ``b = 0``
+selection is replaced by a batched ``take_along_axis``). The refiner sees the
+observed cloud re-expressed in the current pose estimate's frame plus the
+FROZEN color embeddings, and predicts a residual (quaternion, translation)
+composed onto the running pose — the composition itself lives in
+``densefusion_tpu.eval.pipeline`` as a ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from densefusion_tpu.models.posenet import select_object
+
+
+class RefineFeat(nn.Module):
+    """Global 1024-d fusion feature (``PoseRefineNetFeat``,
+    ``lib/network.py:136-168``): per-level concat like DenseFusionFeat but the
+    two levels are themselves concatenated (128 + 256 = 384) before the
+    512/1024 mix, and only the pooled global vector is returned."""
+
+    @nn.compact
+    def __call__(self, points, emb):
+        g1 = nn.relu(nn.Dense(64, name="geo1")(points))
+        c1 = nn.relu(nn.Dense(64, name="col1")(emb))
+        feat1 = jnp.concatenate([g1, c1], axis=-1)             # (B, N, 128)
+
+        g2 = nn.relu(nn.Dense(128, name="geo2")(g1))
+        c2 = nn.relu(nn.Dense(128, name="col2")(c1))
+        feat2 = jnp.concatenate([g2, c2], axis=-1)             # (B, N, 256)
+
+        x = jnp.concatenate([feat1, feat2], axis=-1)           # (B, N, 384)
+        x = nn.relu(nn.Dense(512, name="mix1")(x))
+        x = nn.relu(nn.Dense(1024, name="mix2")(x))
+        return jnp.mean(x, axis=-2)                            # (B, 1024)
+
+
+class PoseRefineNet(nn.Module):
+    """(points (B,N,3) canonicalized, emb (B,N,emb_dim) frozen, obj (B,)) ->
+    residual pose: quat (B, 4) unnormalized wxyz, translation (B, 3).
+
+    Heads: two Linear stacks 1024 -> 512 -> 128 -> num_obj*{4,3}
+    (``lib/network.py:176-206``).
+    """
+
+    num_obj: int
+
+    @nn.compact
+    def __call__(self, points, emb, obj):
+        feat = RefineFeat(name="fusion")(points, emb)          # (B, 1024)
+
+        def head(out_dim, name):
+            x = nn.relu(nn.Dense(512, name=f"{name}_fc1")(feat))
+            x = nn.relu(nn.Dense(128, name=f"{name}_fc2")(x))
+            x = nn.Dense(self.num_obj * out_dim, name=f"{name}_fc3")(x)
+            x = x.reshape(x.shape[0], 1, self.num_obj, out_dim)
+            return select_object(x, obj)[:, 0, :]              # (B, out_dim)
+
+        return {"pred_r": head(4, "head_r"), "pred_t": head(3, "head_t")}
