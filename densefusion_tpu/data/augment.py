@@ -1,0 +1,120 @@
+"""Image / cloud augmentations (host-side numpy, explicitly seeded).
+
+Numpy equivalents of the reference's torchvision augmentations — ColorJitter
+(0.2, 0.2, 0.2, 0.05) applied to every training frame
+(``datasets/ycb/dataset.py:84,149-150``), uniform translation noise on cloud
+and target (``:175,196-197,217-218``), and additive gaussian pixel noise for
+synthetic frames (``:166-167``). Unlike the reference (unseeded worker RNG,
+SURVEY.md §5.2) every function takes an explicit ``np.random.Generator`` so
+runs are reproducible and data order is checkpointable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _blend(a: np.ndarray, b: np.ndarray, f: float) -> np.ndarray:
+    return a * f + b * (1.0 - f)
+
+
+def _grayscale(img: np.ndarray) -> np.ndarray:
+    g = img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
+    return g[..., None]
+
+
+def _rgb_to_hsv(img: np.ndarray):
+    maxc = img.max(-1)
+    minc = img.min(-1)
+    v = maxc
+    delta = maxc - minc
+    s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    dd = np.maximum(delta, 1e-12)
+    h = np.where(maxc == r, (g - b) / dd % 6.0,
+                 np.where(maxc == g, (b - r) / dd + 2.0, (r - g) / dd + 4.0))
+    h = np.where(delta == 0, 0.0, h) / 6.0
+    return h, s, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = (i.astype(np.int32) % 6)[..., None]
+    rgb = np.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+         np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+         np.stack([t, p, v], -1), np.stack([v, p, q], -1)],
+    )
+    return rgb
+
+
+def color_jitter(img: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.2, contrast: float = 0.2,
+                 saturation: float = 0.2, hue: float = 0.05) -> np.ndarray:
+    """torchvision ColorJitter equivalent on a (H, W, 3) uint8/float image in
+    0-255 range; factors drawn uniformly, ops applied in random order."""
+    img = np.asarray(img, np.float32)
+    ops = []
+    if brightness:
+        f = rng.uniform(1 - brightness, 1 + brightness)
+        ops.append(lambda x: x * f)
+    if contrast:
+        f = rng.uniform(1 - contrast, 1 + contrast)
+        ops.append(lambda x: _blend(x, np.full_like(x, _grayscale(x).mean()), f))
+    if saturation:
+        f = rng.uniform(1 - saturation, 1 + saturation)
+        ops.append(lambda x: _blend(x, np.broadcast_to(_grayscale(x), x.shape), f))
+    if hue:
+        shift = rng.uniform(-hue, hue)
+
+        def hue_op(x):
+            h, s, v = _rgb_to_hsv(x / 255.0)
+            return _hsv_to_rgb((h + shift) % 1.0, s, v) * 255.0
+
+        ops.append(hue_op)
+    order = rng.permutation(len(ops))
+    for k in order:
+        img = ops[k](img)
+    return np.clip(img, 0.0, 255.0)
+
+
+def translation_noise(rng: np.random.Generator, noise_trans: float) -> np.ndarray:
+    """Uniform per-axis translation jitter added to BOTH the cloud and the
+    target (``datasets/ycb/dataset.py:175,196-197,217-218``) — the pose label
+    moves with the input, so this augments viewpoint, not label noise."""
+    return rng.uniform(-noise_trans, noise_trans, size=3).astype(np.float32)
+
+
+def gaussian_pixel_noise(img: np.ndarray, rng: np.random.Generator,
+                         scale: float = 7.0) -> np.ndarray:
+    """Additive N(0, scale) pixel noise (synthetic YCB frames,
+    ``datasets/ycb/dataset.py:166-167``)."""
+    return np.asarray(img, np.float32) + rng.normal(0.0, scale, img.shape)
+
+
+def resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, half-pixel convention, pure numpy (PIL-free so the
+    hot data path has no image-library dependency)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)

@@ -1,0 +1,102 @@
+"""Shared object-crop sample assembly used by all pose dataset readers.
+
+Factors out the identical 40-line block the reference repeats in each dataset
+class and eval driver (mask -> bbox ladder -> choose sampling -> depth
+back-projection -> crop normalization; e.g. ``datasets/ycb/dataset.py:152-197``,
+``tools/eval_ycb.py:150-181``), with one TPU-first change: the crop is resized
+to a single canonical size (``crop_size``) and the ``choose`` indices are
+remapped to it, so every sample compiles to ONE static shape (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from densefusion_tpu.geometry.bbox import snap_bbox, bbox_from_mask
+from densefusion_tpu.data.schema import PoseSample, normalize_image
+from densefusion_tpu.data.augment import resize_bilinear_np
+
+
+def choose_mask_pixels(mask_crop: np.ndarray, num_points: int,
+                       rng: np.random.Generator) -> np.ndarray | None:
+    """Flat indices of up to ``num_points`` True pixels of a crop mask:
+    a uniform subsample when there are more, wrap-padding when fewer
+    (``datasets/ycb/dataset.py:177-184``). None for an empty mask."""
+    choose = np.flatnonzero(mask_crop.reshape(-1))
+    if choose.size == 0:
+        return None
+    if choose.size > num_points:
+        choose = rng.choice(choose, size=num_points, replace=False)
+        choose.sort()
+    else:
+        choose = np.pad(choose, (0, num_points - choose.size), "wrap")
+    return choose.astype(np.int64)
+
+
+def assemble_sample(
+    *,
+    rgb: np.ndarray,                 # (H, W, 3) full frame, jitter applied
+    mask: np.ndarray,                # (H, W) bool valid-object pixels
+    bbox: tuple[int, int, int, int],  # tight (rmin, rmax, cmin, cmax), pre-snap
+    point_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    model_points: np.ndarray,        # (M, 3) canonical, meters
+    target: np.ndarray,              # (M, 3) gt-posed, meters
+    obj_idx: int,
+    sym: bool,
+    num_points: int,
+    crop_size: int,
+    rng: np.random.Generator,
+    add_t: np.ndarray | None = None,  # (3,) translation noise, meters
+) -> PoseSample:
+    """Build one PoseSample. ``point_fn(rows, cols) -> (n, 3)`` back-projects
+    absolute pixel coordinates to metric 3D (pinhole or ray-map)."""
+    h, w = mask.shape
+    rmin, rmax, cmin, cmax = snap_bbox(*bbox, img_h=h, img_w=w)
+    crop_h, crop_w = rmax - rmin, cmax - cmin
+
+    choose = choose_mask_pixels(mask[rmin:rmax, cmin:cmax], num_points, rng)
+    if choose is None:
+        return PoseSample.invalid(num_points, model_points.shape[0], crop_size)
+
+    rows = rmin + choose // crop_w
+    cols = cmin + choose % crop_w
+    cloud = point_fn(rows, cols).astype(np.float32)
+
+    tgt = np.asarray(target, np.float32)
+    if add_t is not None:
+        cloud = cloud + add_t
+        tgt = tgt + add_t
+
+    img = normalize_image(rgb[rmin:rmax, cmin:cmax])
+    if (crop_h, crop_w) != (crop_size, crop_size):
+        img = resize_bilinear_np(img, crop_size, crop_size)
+        # nearest-pixel correspondence under the same half-pixel mapping
+        new_r = np.clip(np.round((rows - rmin + 0.5) * crop_size / crop_h - 0.5),
+                        0, crop_size - 1)
+        new_c = np.clip(np.round((cols - cmin + 0.5) * crop_size / crop_w - 0.5),
+                        0, crop_size - 1)
+        choose = (new_r * crop_size + new_c).astype(np.int64)
+
+    return PoseSample(
+        points=cloud,
+        choose=choose.astype(np.int32),
+        img=img.astype(np.float32),
+        target=tgt,
+        model_points=np.asarray(model_points, np.float32),
+        obj_idx=np.asarray(obj_idx, np.int32),
+        sym=np.asarray(sym, bool),
+        valid=np.ones((), bool),
+    )
+
+
+def subsample_model_points(points: np.ndarray, num: int,
+                           rng: np.random.Generator) -> np.ndarray:
+    """Random subset of ``num`` model points (reference deletes a random
+    complement, ``datasets/ycb/dataset.py:204-209`` — same distribution)."""
+    if len(points) <= num:
+        reps = -(-num // len(points))
+        return np.tile(points, (reps, 1))[:num]
+    idx = rng.choice(len(points), size=num, replace=False)
+    return points[idx]

@@ -1,0 +1,164 @@
+"""Synthetic LineMOD-format scene generator.
+
+Point-splat renderer producing miniature datasets in the exact
+Linemod_preprocessed directory layout the :class:`LineModDataset` reader
+consumes (rgb/depth/mask PNGs, ``gt.yml``, ASCII PLY models, train/test
+lists, ``models_info.yml`` diameters, optional ``segnet_results`` masks).
+
+Role: the checked-in-golden-scene test strategy of the reference
+(``datasets/FallingThings/``, ``datasets/customCAD/test.py`` — SURVEY.md §4)
+without shipping real data: tests and benchmarks generate scenes on the fly
+with known ground truth, exercising the full loader -> model -> loss ->
+metric path end-to-end. The rendering approach (z-sorted point splatting)
+mirrors what the reference's CAD generator does with open3d
+(``datasets/customCAD/cad_to_dataset.py:168-243``), in pure numpy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from densefusion_tpu.geometry.camera import LINEMOD_CAM
+from densefusion_tpu.data.ply import write_ply
+
+
+def make_asymmetric_model(n_points: int = 4000, scale_mm: float = 50.0,
+                          seed: int = 0) -> np.ndarray:
+    """Blob of points on a box surface with an off-center bump — deliberately
+    asymmetric so ADD is a meaningful metric. Units mm, centered."""
+    rng = np.random.default_rng(seed)
+    # box faces
+    n_box = n_points * 3 // 4
+    face = rng.integers(0, 6, n_box)
+    uv = rng.uniform(-1, 1, (n_box, 2))
+    half = np.array([0.6, 1.0, 0.4])
+    pts = np.zeros((n_box, 3))
+    for f in range(6):
+        m = face == f
+        axis = f // 2
+        sign = 1.0 if f % 2 == 0 else -1.0
+        others = [a for a in range(3) if a != axis]
+        pts[m, axis] = sign * half[axis]
+        pts[m, others[0]] = uv[m, 0] * half[others[0]]
+        pts[m, others[1]] = uv[m, 1] * half[others[1]]
+    # bump sphere at a corner (breaks symmetry)
+    n_bump = n_points - n_box
+    d = rng.standard_normal((n_bump, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    bump = d * 0.35 + np.array([0.5, 0.8, 0.3])
+    return (np.concatenate([pts, bump]) * scale_mm).astype(np.float32)
+
+
+def _splat_render(points_cam_mm: np.ndarray, colors: np.ndarray,
+                  img_h: int, img_w: int, cam, splat: int = 2):
+    """Z-buffered point splatting -> (rgb uint8, depth_mm uint16, mask bool)."""
+    z = points_cam_mm[:, 2]
+    valid = z > 1.0
+    pts = points_cam_mm[valid]
+    cols = colors[valid]
+    u = np.round(pts[:, 0] / pts[:, 2] * cam.fx + cam.cx).astype(np.int64)
+    v = np.round(pts[:, 1] / pts[:, 2] * cam.fy + cam.cy).astype(np.int64)
+    depth = np.zeros((img_h, img_w), np.float64)
+    rgb = np.full((img_h, img_w, 3), 110, np.uint8)
+    zbuf = np.full((img_h, img_w), np.inf)
+    order = np.argsort(-pts[:, 2])  # far to near; near overwrites
+    for du in range(-splat, splat + 1):
+        for dv in range(-splat, splat + 1):
+            uu = u[order] + du
+            vv = v[order] + dv
+            ok = (uu >= 0) & (uu < img_w) & (vv >= 0) & (vv < img_h)
+            zbuf[vv[ok], uu[ok]] = pts[order][ok][:, 2]
+            rgb[vv[ok], uu[ok]] = cols[order][ok]
+            depth[vv[ok], uu[ok]] = pts[order][ok][:, 2]
+    mask = depth > 0
+    return rgb, np.round(depth).astype(np.uint16), mask
+
+
+def generate_linemod_style_dataset(
+    root: str, objlist=(1,), n_train: int = 8, n_test: int = 20,
+    n_model_points: int = 4000, img_h: int = 480, img_w: int = 640,
+    seed: int = 0,
+) -> None:
+    """Write a miniature Linemod_preprocessed tree under ``root``.
+
+    Note the reader subsamples test lists 1/10, so ``n_test=20`` yields 2
+    usable eval frames. Ground truth is exact (no mask/pose noise), making
+    metric expectations sharp in tests.
+    """
+    import yaml
+    rng = np.random.default_rng(seed)
+    cam = LINEMOD_CAM
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    models_info = {}
+
+    for obj in objlist:
+        model_mm = make_asymmetric_model(n_model_points, seed=seed + obj)
+        write_ply(os.path.join(root, "models", f"obj_{obj:02d}.ply"), model_mm)
+        diam = float(np.linalg.norm(
+            model_mm.max(axis=0) - model_mm.min(axis=0)))
+        models_info[obj] = {"diameter": diam}
+
+        base = os.path.join(root, "data", f"{obj:02d}")
+        for sub in ("rgb", "depth", "mask"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        seg_dir = os.path.join(root, "segnet_results", f"{obj:02d}_label")
+        os.makedirs(seg_dir, exist_ok=True)
+
+        # position-based coloring so the CNN has signal
+        pmin, pmax = model_mm.min(0), model_mm.max(0)
+        colors = (40 + 210 * (model_mm - pmin) / (pmax - pmin)).astype(np.uint8)
+
+        gt = {}
+        n_frames = n_train + n_test
+        from PIL import Image
+        for frame in range(n_frames):
+            # random pose, object kept in view
+            q = rng.standard_normal(4)
+            q /= np.linalg.norm(q)
+            w_, x_, y_, z_ = q
+            R = np.array([
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_),
+                 2 * (w_ * y_ + x_ * z_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_),
+                 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (w_ * x_ + y_ * z_),
+                 1 - 2 * (x_ * x_ + y_ * y_)],
+            ])
+            t = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
+                          rng.uniform(600, 900)])
+            pts_cam = model_mm @ R.T + t
+            rgb, depth, mask = _splat_render(pts_cam, colors, img_h, img_w, cam)
+
+            Image.fromarray(rgb).save(
+                os.path.join(base, "rgb", f"{frame:04d}.png"))
+            Image.fromarray(depth).save(
+                os.path.join(base, "depth", f"{frame:04d}.png"))
+            mask_img = (mask * 255).astype(np.uint8)
+            mask_rgb = np.repeat(mask_img[..., None], 3, axis=-1)
+            Image.fromarray(mask_rgb).save(
+                os.path.join(base, "mask", f"{frame:04d}.png"))
+            Image.fromarray(mask_img).save(
+                os.path.join(seg_dir, f"{frame:04d}_label.png"))
+
+            vs, us = np.where(mask)
+            gt[frame] = [{
+                "cam_R_m2c": [float(x) for x in R.reshape(-1)],
+                "cam_t_m2c": [float(x) for x in t],
+                "obj_bb": [int(us.min()), int(vs.min()),
+                           int(us.max() - us.min() + 1),
+                           int(vs.max() - vs.min() + 1)],
+                "obj_id": int(obj),
+            }]
+
+        with open(os.path.join(base, "gt.yml"), "w") as f:
+            yaml.safe_dump(gt, f)
+        with open(os.path.join(base, "train.txt"), "w") as f:
+            f.write("\n".join(f"{i:04d}" for i in range(n_train)) + "\n")
+        with open(os.path.join(base, "test.txt"), "w") as f:
+            f.write("\n".join(f"{i:04d}"
+                              for i in range(n_train, n_frames)) + "\n")
+
+    with open(os.path.join(root, "models", "models_info.yml"), "w") as f:
+        yaml.safe_dump(models_info, f)

@@ -1,0 +1,201 @@
+"""YCB-Video dataset reader.
+
+Covers the capabilities of ``datasets/ycb/dataset.py:18-244``: real+synthetic
+frame lists, two intrinsics sets selected by video index, random object pick
+per frame (≥50 valid depth pixels), synthetic-frame augmentation (real
+background compositing behind the render, two foreground object crops pasted
+from another synthetic frame, gaussian pixel noise), ColorJitter, translation
+noise, 1000-point clouds, 500 (train) / 2600 (refine) mesh points, symmetric
+classes {12, 15, 18, 19, 20}.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+from densefusion_tpu.geometry.bbox import bbox_from_mask
+from densefusion_tpu.geometry.camera import YCB_CAM_1, YCB_CAM_2
+from densefusion_tpu.data.schema import PoseSample
+from densefusion_tpu.data.common import (
+    assemble_sample, subsample_model_points,
+)
+from densefusion_tpu.data.augment import (
+    color_jitter, translation_noise, gaussian_pixel_noise,
+)
+
+YCB_SYM = [12, 15, 18, 19, 20]  # datasets/ycb/dataset.py:89
+YCB_NUM_OBJECTS = 21
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.array(Image.open(path))
+
+
+def _load_mat(path: str):
+    import scipy.io as scio
+    return scio.loadmat(path)
+
+
+class YCBDataset:
+    def __init__(self, root: str, mode: str = "train", num_points: int = 1000,
+                 add_noise: bool | None = None, noise_trans: float = 0.03,
+                 refine: bool = False, crop_size: int = 192,
+                 config_dir: str | None = None, seed: int = 0,
+                 minimum_num_pt: int = 50):
+        self.root = root
+        self.mode = mode
+        self.num_points = num_points
+        self.add_noise = (mode == "train") if add_noise is None else add_noise
+        self.noise_trans = noise_trans
+        self.refine = refine
+        self.crop_size = crop_size
+        self.minimum_num_pt = minimum_num_pt
+        self.rng = np.random.default_rng(seed)
+        # 500 normal / 2600 once refinement starts (dataset.py:90-91)
+        self.num_mesh = 2600 if refine else 500
+
+        cfg = config_dir or os.path.join(root, "dataset_config")
+        list_file = os.path.join(
+            cfg, "train_data_list.txt" if mode == "train"
+            else "test_data_list.txt")
+        with open(list_file) as f:
+            self.frames = [ln.strip() for ln in f if ln.strip()]
+        # real frames start with 'data/', synthetic are 'data_syn/...'
+        self.real = [fr for fr in self.frames if fr.startswith("data/")]
+        self.syn = [fr for fr in self.frames if not fr.startswith("data/")]
+
+        with open(os.path.join(cfg, "classes.txt")) as f:
+            self.classes = [ln.strip() for ln in f if ln.strip()]
+        self.models: dict[int, np.ndarray] = {}
+        for cid, cls in enumerate(self.classes, start=1):
+            pts_file = os.path.join(root, "models", cls, "points.xyz")
+            self.models[cid] = np.loadtxt(pts_file, dtype=np.float32)
+
+    def __len__(self):
+        return len(self.frames)
+
+    @property
+    def sym_list(self) -> list[int]:
+        return list(YCB_SYM)
+
+    @property
+    def num_points_mesh(self) -> int:
+        return self.num_mesh
+
+    def _intrinsics(self, frame: str):
+        """Video index >= 60 switches cameras (dataset.py:103-112)."""
+        if frame.startswith("data/") and int(frame[5:9]) >= 60:
+            return YCB_CAM_2
+        return YCB_CAM_1
+
+    def _frame_paths(self, frame: str):
+        base = os.path.join(self.root, frame)
+        return (base + "-color.png", base + "-depth.png",
+                base + "-label.png", base + "-meta.mat")
+
+    def _composite_front(self, label: np.ndarray):
+        """Paste two object masks from another synthetic frame as occluders
+        (dataset.py:116-137): their pixels are removed from the current label
+        so the occluded object's visible mask shrinks."""
+        for _ in range(5):
+            seed_frame = self.syn[self.rng.integers(len(self.syn))]
+            c_path, _, l_path, _ = self._frame_paths(seed_frame)
+            front = color_jitter(_load_image(c_path)[..., :3], self.rng)
+            f_label = _load_image(l_path)
+            ids = [i for i in np.unique(f_label) if i != 0]
+            if len(ids) < 2:
+                continue
+            pick = self.rng.choice(ids, size=2, replace=False)
+            mask_front = ~np.isin(f_label, pick)  # True where NOT occluded
+            t_label = label * mask_front
+            if (t_label != 0).sum() > 1000:
+                return t_label, mask_front, front
+        return label, None, None
+
+    def __getitem__(self, index: int) -> PoseSample:
+        frame = self.frames[index]
+        c_path, d_path, l_path, m_path = self._frame_paths(frame)
+        rgb = _load_image(c_path)[..., :3]
+        depth = _load_image(d_path)
+        label = _load_image(l_path)
+        meta = _load_mat(m_path)
+        is_syn = not frame.startswith("data/")
+
+        mask_back = label == 0
+
+        mask_front = None
+        front = None
+        if self.add_noise:
+            label, mask_front, front = self._composite_front(label)
+
+        objs = meta["cls_indexes"].flatten().astype(np.int32)
+        mask_depth = depth != 0
+
+        # random object with enough valid pixels (dataset.py:141-147)
+        order = self.rng.permutation(len(objs))
+        pick = None
+        for k in order:
+            mask_label = label == objs[k]
+            if (mask_label & mask_depth).sum() > self.minimum_num_pt:
+                pick = k
+                break
+        if pick is None:
+            return PoseSample.invalid(self.num_points, self.num_mesh,
+                                      self.crop_size)
+        obj_id = int(objs[pick])
+        mask_label = label == obj_id
+        mask = mask_label & mask_depth
+
+        if self.add_noise:
+            rgb = color_jitter(rgb, self.rng)
+
+        if is_syn:  # real background behind the render (dataset.py:155-159)
+            back_frame = self.real[self.rng.integers(len(self.real))]
+            back = color_jitter(
+                _load_image(self._frame_paths(back_frame)[0])[..., :3],
+                self.rng)
+            rgb = np.where(mask_back[..., None], back, rgb)
+
+        if self.add_noise and mask_front is not None:
+            rgb = np.where(mask_front[..., None], rgb, front)
+
+        if is_syn:
+            rgb = gaussian_pixel_noise(rgb, self.rng, 7.0)
+
+        bbox = bbox_from_mask(mask_label, largest_component=False)
+        if bbox is None:
+            return PoseSample.invalid(self.num_points, self.num_mesh,
+                                      self.crop_size)
+
+        pose = meta["poses"][:, :, pick]
+        R_gt = pose[:, :3].astype(np.float64)
+        t_gt = pose[:, 3].astype(np.float64)
+
+        cam = self._intrinsics(frame)
+        cam_scale = float(meta["factor_depth"].flatten()[0])
+
+        add_t = (translation_noise(self.rng, self.noise_trans)
+                 if self.add_noise else None)
+
+        model = subsample_model_points(self.models[obj_id], self.num_mesh,
+                                       self.rng)
+        target = model @ R_gt.T + t_gt
+
+        def point_fn(rows, cols):
+            z = depth[rows, cols].astype(np.float32) / cam_scale
+            x3 = (cols.astype(np.float32) - cam.cx) * z / cam.fx
+            y3 = (rows.astype(np.float32) - cam.cy) * z / cam.fy
+            return np.stack([x3, y3, z], -1)
+
+        return assemble_sample(
+            rgb=rgb, mask=mask, bbox=bbox, point_fn=point_fn,
+            model_points=model, target=target,
+            obj_idx=obj_id - 1,  # 0-based class (dataset.py:232)
+            sym=(obj_id - 1) in YCB_SYM,
+            num_points=self.num_points, crop_size=self.crop_size,
+            rng=self.rng, add_t=add_t,
+        )

@@ -1,0 +1,172 @@
+"""Data pipeline tests on generated synthetic LineMOD-format scenes: loader
+schema/shape contracts, geometric consistency of back-projection vs gt pose
+(the FallingThings-style verification of SURVEY.md §4), augmentation sanity,
+batch loader determinism."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from densefusion_tpu.data import (
+    LineModDataset, generate_linemod_style_dataset, collate, PoseSample,
+    BatchLoader, PrefetchIterator, read_ply_vertices, write_ply,
+)
+from densefusion_tpu.data.augment import color_jitter, resize_bilinear_np
+from densefusion_tpu.data.common import choose_mask_pixels, subsample_model_points
+
+
+@pytest.fixture(scope="module")
+def lm_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("linemod_synth"))
+    generate_linemod_style_dataset(root, objlist=(1,), n_train=4, n_test=20,
+                                   seed=3)
+    return root
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    path = str(tmp_path / "x.ply")
+    write_ply(path, pts)
+    back = read_ply_vertices(path)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_linemod_train_sample_schema(lm_root):
+    ds = LineModDataset(lm_root, mode="train", num_points=500, crop_size=192,
+                        objlist=[1])
+    assert len(ds) == 4
+    s = ds[0]
+    assert s.points.shape == (500, 3) and s.points.dtype == np.float32
+    assert s.choose.shape == (500,) and s.choose.dtype == np.int32
+    assert s.img.shape == (192, 192, 3)
+    assert s.target.shape == (500, 3)
+    assert s.model_points.shape == (500, 3)
+    assert s.valid
+    assert not s.sym
+    assert 0 <= s.choose.min() and s.choose.max() < 192 * 192
+
+
+def test_linemod_geometric_consistency(lm_root):
+    """Back-projected cloud must lie on the gt-posed model surface: mean 1-NN
+    distance from cloud to target below rendering quantization (~3 mm)."""
+    ds = LineModDataset(lm_root, mode="train", num_points=500, add_noise=False,
+                        objlist=[1])
+    for i in range(3):
+        s = ds[i]
+        d = np.linalg.norm(s.points[:, None, :] - s.target[None, :, :],
+                           axis=-1).min(axis=1)
+        assert d.mean() < 0.005, f"sample {i}: mean NN dist {d.mean():.4f} m"
+        # depth scale sanity: objects rendered at 0.6-0.9 m
+        assert 0.5 < s.points[:, 2].mean() < 1.0
+
+
+def test_linemod_target_equals_posed_model(lm_root):
+    ds = LineModDataset(lm_root, mode="train", add_noise=False, objlist=[1])
+    s = ds[1]
+    # target must be a rigid transform of model_points (same pairwise dists)
+    i, j = 5, 99
+    d_m = np.linalg.norm(s.model_points[i] - s.model_points[j])
+    d_t = np.linalg.norm(s.target[i] - s.target[j])
+    np.testing.assert_allclose(d_m, d_t, rtol=1e-4)
+
+
+def test_linemod_test_and_eval_modes(lm_root):
+    ds_test = LineModDataset(lm_root, mode="test", objlist=[1])
+    assert len(ds_test) == 2  # 20 test frames, 1/10 subsample
+    s = ds_test[0]
+    assert s.valid
+    ds_eval = LineModDataset(lm_root, mode="eval", objlist=[1])
+    s = ds_eval[0]
+    assert s.valid  # segnet_results masks present in fixture
+    d = np.linalg.norm(s.points[:, None] - s.target[None], axis=-1).min(1)
+    assert d.mean() < 0.005
+
+
+def test_linemod_diameters(lm_root):
+    ds = LineModDataset(lm_root, mode="test", objlist=[1])
+    diam = ds.diameters()
+    assert diam.shape == (1,)
+    assert 0.05 < diam[0] < 0.3  # ~60-170 mm object
+
+
+def test_collate_and_invalid(lm_root):
+    ds = LineModDataset(lm_root, mode="train", objlist=[1])
+    batch = collate([ds[0], ds[1], PoseSample.invalid(500, 500, 192)])
+    assert batch.points.shape == (3, 500, 3)
+    assert batch.img.shape == (3, 192, 192, 3)
+    assert batch.valid.tolist() == [True, True, False]
+
+
+def test_batch_loader_determinism(lm_root):
+    ds = LineModDataset(lm_root, mode="train", objlist=[1], seed=5)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=11,
+                         num_workers=1)
+    b1 = loader.batch_indices(epoch=0)
+    b2 = loader.batch_indices(epoch=0)
+    assert all((x == y).all() for x, y in zip(b1, b2))
+    b3 = loader.batch_indices(epoch=1)
+    assert any((x != y).any() for x, y in zip(b1, b3))
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert batches[0].points.shape == (2, 500, 3)
+
+
+def test_prefetch_iterator():
+    it = PrefetchIterator(iter(range(10)), depth=3)
+    assert list(it) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("worker died")
+
+    it = PrefetchIterator(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_choose_mask_pixels(rng):
+    mask = np.zeros((10, 10), bool)
+    mask[2:4, 3:6] = True  # 6 pixels
+    ch = choose_mask_pixels(mask, 4, rng)
+    assert ch.shape == (4,) and len(set(ch.tolist())) == 4
+    ch = choose_mask_pixels(mask, 10, rng)  # wrap-pad 6 -> 10
+    assert ch.shape == (10,)
+    assert set(ch.tolist()) <= set(np.flatnonzero(mask.reshape(-1)).tolist())
+    assert choose_mask_pixels(np.zeros((5, 5), bool), 4, rng) is None
+
+
+def test_subsample_model_points(rng):
+    pts = rng.standard_normal((100, 3))
+    out = subsample_model_points(pts, 30, rng)
+    assert out.shape == (30, 3)
+    out = subsample_model_points(pts[:10], 25, rng)  # tile up
+    assert out.shape == (25, 3)
+
+
+def test_color_jitter_bounds(rng):
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    out = color_jitter(img, rng)
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    assert not np.allclose(out, img.astype(np.float32))
+
+
+def test_resize_bilinear_np_matches_jax_upscale(rng):
+    # jax.image.resize antialiases on downscale; on upscale both are plain
+    # half-pixel bilinear and must agree exactly.
+    import jax
+    img = rng.standard_normal((9, 11, 3)).astype(np.float32)
+    got = resize_bilinear_np(img, 17, 23)
+    want = np.asarray(jax.image.resize(jnp.asarray(img), (17, 23, 3),
+                                       method="bilinear"))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_resize_bilinear_np_downscale_sane(rng):
+    img = np.ones((16, 16, 3), np.float32) * 7.0
+    out = resize_bilinear_np(img, 5, 9)
+    assert out.shape == (5, 9, 3)
+    np.testing.assert_allclose(out, 7.0, rtol=1e-6)
