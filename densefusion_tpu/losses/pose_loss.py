@@ -67,7 +67,8 @@ def _hypothesis_distances(pred: jax.Array, target: jax.Array,
 def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
               target: jax.Array, model_points: jax.Array, points: jax.Array,
               sym: jax.Array, w: jax.Array, *, use_adds: bool = True,
-              knn_backend: str = "auto") -> PoseLossOutput:
+              knn_backend: str = "auto",
+              sample_weight: jax.Array | None = None) -> PoseLossOutput:
     """Dense per-point-hypothesis ADD(-S) loss (``loss_calculation``,
     ``lib/loss.py:13-70``).
 
@@ -83,6 +84,8 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
       use_adds: statically disable the ADD-S branch (e.g. the refine-phase
         main loss never remaps, ``lib/loss.py:40``; datasets with an empty
         sym_list skip the KNN entirely).
+      sample_weight: optional (B,) weights (e.g. the batch ``valid`` mask —
+        lost detections contribute zero loss but keep static shapes).
     """
     q = quat_normalize(pred_r)
     R = quat_to_matrix(q)                                     # (B, N, 3, 3)
@@ -91,7 +94,12 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
     pred = jnp.einsum("bmj,bnij->bnmi", model_points, R) + t[:, :, None, :]
 
     dis = _hypothesis_distances(pred, target, sym, use_adds, knn_backend)
-    loss = jnp.mean(dis * pred_c - w * jnp.log(jnp.maximum(pred_c, 1e-12)))
+    per_point = dis * pred_c - w * jnp.log(jnp.maximum(pred_c, 1e-12))
+    if sample_weight is None:
+        loss = jnp.mean(per_point)
+    else:
+        sw = sample_weight.astype(per_point.dtype)
+        loss = jnp.sum(per_point.mean(axis=1) * sw) / jnp.maximum(sw.sum(), 1.0)
 
     best = jnp.argmax(pred_c, axis=1)                         # (B,)
     take = lambda x: jnp.take_along_axis(
@@ -114,8 +122,8 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
 
 def refiner_loss(pred_r: jax.Array, pred_t: jax.Array, target: jax.Array,
                  model_points: jax.Array, points: jax.Array, sym: jax.Array,
-                 *, use_adds: bool = True,
-                 knn_backend: str = "auto") -> RefinerLossOutput:
+                 *, use_adds: bool = True, knn_backend: str = "auto",
+                 sample_weight: jax.Array | None = None) -> RefinerLossOutput:
     """Residual-pose refinement loss (``lib/loss_refiner.py:12-62``): a single
     hypothesis per sample, ADD(-S) distance without the confidence term
     (the ADD-S remap stays active here, unlike the main loss in refine phase),
@@ -132,11 +140,16 @@ def refiner_loss(pred_r: jax.Array, pred_t: jax.Array, target: jax.Array,
 
     dis = _hypothesis_distances(pred[:, None], target, sym, use_adds,
                                 knn_backend)[:, 0]            # (B,)
+    if sample_weight is None:
+        loss = jnp.mean(dis)
+    else:
+        sw = sample_weight.astype(dis.dtype)
+        loss = jnp.sum(dis * sw) / jnp.maximum(sw.sum(), 1.0)
 
     new_points = (points - pred_t[:, None, :]) @ R
     new_target = (target - pred_t[:, None, :]) @ R
     return RefinerLossOutput(
-        loss=jnp.mean(dis),
+        loss=loss,
         dis=dis,
         new_points=jax.lax.stop_gradient(new_points),
         new_target=jax.lax.stop_gradient(new_target),

@@ -1,0 +1,211 @@
+"""Training driver: epoch loop with the two-phase curriculum.
+
+Re-design of ``tools/train.py:51-254``. Behaviors kept: per-epoch
+train/test cycle with average-distance selection, best-checkpoint policy,
+periodic 'current' checkpoints, lr/w decay at ``decay_margin`` with a FRESH
+optimizer (``tools/train.py:219-223``), refiner phase at ``refine_margin``
+with datasets rebuilt (YCB mesh points 500 -> 2600 — a static-shape change,
+so the step recompiles once at the boundary, ``tools/train.py:225-251``).
+Changed by design: true batching (batch_size samples per step) instead of
+batch-1 gradient accumulation, explicitly seeded data order, JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from densefusion_tpu.models import PoseNet, PoseRefineNet
+from densefusion_tpu.data import (
+    BatchLoader, PrefetchIterator, LineModDataset, YCBDataset, CADDataset,
+)
+from densefusion_tpu.train.state import (
+    TrainState, Curriculum, create_train_state, make_optimizer,
+)
+from densefusion_tpu.train.steps import (
+    make_pose_train_step, make_refine_train_step, make_eval_step,
+)
+from densefusion_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from densefusion_tpu.utils.config import RunConfig
+from densefusion_tpu.utils.logging import setup_logger, MetricsWriter
+
+
+def build_dataset(cfg: RunConfig, mode: str, refine: bool):
+    """Dataset factory (``tools/train.py:99-114``)."""
+    common = dict(root=cfg.dataset_root, mode=mode,
+                  num_points=cfg.num_points, crop_size=cfg.crop_size,
+                  refine=refine, seed=cfg.seed,
+                  noise_trans=cfg.noise_trans if mode == "train" else 0.0,
+                  add_noise=(mode == "train"))
+    if cfg.dataset == "ycb":
+        return YCBDataset(**common)
+    mesh = cfg.refine_mesh_points if refine else cfg.num_mesh_points
+    if cfg.dataset == "linemod":
+        return LineModDataset(num_mesh_points=mesh, **common)
+    if cfg.dataset == "cad":
+        return CADDataset(num_mesh_points=mesh, **common)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+class Trainer:
+    def __init__(self, cfg: RunConfig, posenet: Optional[PoseNet] = None,
+                 refiner: Optional[PoseRefineNet] = None,
+                 dataset_factory: Callable = build_dataset,
+                 shard_batch: Optional[Callable] = None):
+        self.cfg = cfg
+        self.posenet = posenet or PoseNet(num_obj=cfg.num_objects)
+        self.refiner = refiner or PoseRefineNet(num_obj=cfg.num_objects)
+        self.dataset_factory = dataset_factory
+        self.shard_batch = shard_batch or (lambda b: b)
+        self.curriculum = Curriculum(lr=cfg.lr, w=cfg.w)
+        self.state: TrainState | None = None
+        self.metrics = MetricsWriter(os.path.join(cfg.log_dir, "metrics.jsonl"))
+        self.logger = setup_logger(
+            "train", os.path.join(cfg.log_dir, "train_log.txt"))
+        self._use_adds = bool(cfg.sym_list)
+
+    # -- setup ------------------------------------------------------------
+
+    def setup(self, resume: str | None = None) -> None:
+        cfg = self.cfg
+        self._build_data(refine=self.curriculum.refine_started)
+        sample = next(iter(self.train_loader.epoch(0)))
+        rng = jax.random.key(cfg.seed)
+        self.state = create_train_state(self.posenet, self.refiner, cfg, rng,
+                                        sample)
+        if resume:
+            self.state, self.curriculum, _ = load_checkpoint(resume, self.state)
+            self.logger.info(f"resumed from {resume} at epoch "
+                             f"{self.curriculum.epoch}")
+            self._build_data(refine=self.curriculum.refine_started)
+        self._rebuild_steps(reset_opt=resume is None)
+
+    def _build_data(self, refine: bool) -> None:
+        cfg = self.cfg
+        self.train_ds = self.dataset_factory(cfg, "train", refine)
+        self.test_ds = self.dataset_factory(cfg, "test", refine)
+        self.train_loader = BatchLoader(
+            self.train_ds, cfg.batch_size, shuffle=True,
+            num_workers=cfg.num_workers, seed=cfg.seed)
+        self.test_loader = BatchLoader(
+            self.test_ds, cfg.batch_size, shuffle=False,
+            num_workers=cfg.num_workers, drop_last=False, seed=cfg.seed)
+
+    def _rebuild_steps(self, reset_opt: bool = True) -> None:
+        """(Re)create jitted steps + optimizer for the current phase."""
+        cfg = self.cfg
+        cur = self.curriculum
+        tx = make_optimizer(cur.lr)
+        self._tx = tx
+        if cur.refine_started:
+            self.train_step = make_refine_train_step(
+                self.posenet, self.refiner, tx, cfg.refine_iters,
+                cfg.knn_backend)
+            if reset_opt:
+                self.state = self.state.replace(
+                    opt_state=tx.init(self.state.params_refine))
+        else:
+            self.train_step = make_pose_train_step(
+                self.posenet, tx, self._use_adds, cfg.knn_backend)
+            if reset_opt:
+                self.state = self.state.replace(
+                    opt_state=tx.init(self.state.params_pose))
+        self.eval_step = make_eval_step(
+            self.posenet, self.refiner,
+            cfg.refine_iters if cur.refine_started else 0,
+            self._use_adds, cfg.knn_backend)
+
+    # -- epochs -----------------------------------------------------------
+
+    def train_epoch(self) -> float:
+        cfg, cur = self.cfg, self.curriculum
+        t0 = time.time()
+        dis_sum, count = 0.0, 0
+        for rep in range(cfg.repeat_epoch):
+            start = cur.batch_in_epoch if rep == 0 else 0
+            it = PrefetchIterator(
+                self.train_loader.epoch(cur.epoch * cfg.repeat_epoch + rep,
+                                        start_batch=start))
+            for batch in it:
+                self.state, m = self.train_step(
+                    self.state, self.shard_batch(batch),
+                    np.float32(cur.w))
+                cur.batch_in_epoch += 1
+                dis_sum += float(m["dis"])
+                count += 1
+                if count % 50 == 0:
+                    self.logger.info(
+                        f"epoch {cur.epoch} batch {count} "
+                        f"avg_dis {dis_sum / count:.5f} "
+                        f"({time.time() - t0:.1f}s)")
+                step = int(self.state.step)
+                if step and step % cfg.checkpoint_every_steps == 0:
+                    self._save("current")
+            cur.batch_in_epoch = 0
+        avg = dis_sum / max(count, 1)
+        self.metrics.write(kind="train_epoch", epoch=cur.epoch, avg_dis=avg,
+                           seconds=time.time() - t0, phase=self._phase())
+        return avg
+
+    def test_epoch(self) -> float:
+        cur = self.curriculum
+        t0 = time.time()
+        dis_sum, count = 0.0, 0
+        for batch in PrefetchIterator(self.test_loader.epoch(0)):
+            dis, valid = self.eval_step(
+                self.state.params_pose, self.state.params_refine,
+                self.shard_batch(batch), np.float32(cur.w))
+            dis, valid = np.asarray(dis), np.asarray(valid)
+            dis_sum += float((dis * valid).sum())
+            count += int(valid.sum())
+        avg = dis_sum / max(count, 1)
+        self.metrics.write(kind="test_epoch", epoch=cur.epoch, avg_dis=avg,
+                           seconds=time.time() - t0, phase=self._phase())
+        self.logger.info(f"epoch {cur.epoch} TEST avg_dis {avg:.5f}")
+        return avg
+
+    def _phase(self) -> str:
+        return "refine" if self.curriculum.refine_started else "pose"
+
+    def _save(self, tag: str) -> None:
+        path = os.path.join(self.cfg.out_dir, f"checkpoint_{tag}")
+        save_checkpoint(path, self.state, self.curriculum, self.cfg)
+
+    # -- curriculum -------------------------------------------------------
+
+    def run(self, max_epochs: int | None = None) -> None:
+        cfg, cur = self.cfg, self.curriculum
+        end_epoch = cur.epoch + (max_epochs if max_epochs is not None
+                                 else cfg.nepoch)
+        while cur.epoch < end_epoch:
+            self.train_epoch()
+            test_dis = self.test_epoch()
+
+            if test_dis <= cur.best_test:
+                cur.best_test = test_dis
+                self._save("best_" + self._phase())
+                self.logger.info(
+                    f"epoch {cur.epoch} BEST {self._phase()} model saved "
+                    f"(dis {test_dis:.5f})")
+
+            # lr/w decay gate (tools/train.py:219-223)
+            if cur.best_test < cfg.decay_margin and not cur.decay_started:
+                cur.decay_started = True
+                cur.lr *= cfg.lr_rate
+                cur.w *= cfg.w_rate
+                self._rebuild_steps(reset_opt=True)
+                self.logger.info(f"decay triggered: lr={cur.lr} w={cur.w}")
+
+            # refiner phase gate (tools/train.py:225-251)
+            if cur.best_test < cfg.refine_margin and not cur.refine_started:
+                cur.refine_started = True
+                cur.best_test = float("inf")
+                self._build_data(refine=True)
+                self._rebuild_steps(reset_opt=True)
+                self.logger.info("refinement phase started")
+
+            cur.epoch += 1

@@ -1,0 +1,77 @@
+"""Typed run configuration.
+
+Replaces the reference's per-entry-point argparse + hardcoded per-dataset
+constants (``tools/train.py:31-76``; SURVEY.md §5.6) with one serializable
+dataclass that is stored inside every checkpoint, so a run is reproducible
+from its artifacts alone. Several reference flags were silently strings
+(``--lr`` etc. missing ``type=``, ``tools/train.py:36-42``) — typed here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # dataset
+    dataset: str = "linemod"          # ycb | linemod | cad
+    dataset_root: str = ""
+    num_objects: int = 13
+    num_points: int = 500             # cloud points per crop
+    num_mesh_points: int = 500        # model points (YCB refine: 2600)
+    refine_mesh_points: int = 500
+    crop_size: int = 192
+    sym_list: tuple[int, ...] = ()
+    # optimization (tools/train.py:34-44 defaults)
+    batch_size: int = 8               # true batch (reference: 1 + accumulate 32)
+    grad_accum: int = 1               # optional accumulation on top
+    lr: float = 1e-4
+    lr_rate: float = 0.1
+    w: float = 0.015
+    w_rate: float = 0.1
+    decay_margin: float = 0.03
+    refine_margin: float = 0.02
+    noise_trans: float = 0.03
+    refine_iters: int = 2
+    nepoch: int = 500
+    repeat_epoch: int = 1
+    # runtime
+    seed: int = 0
+    out_dir: str = "trained_models"
+    log_dir: str = "experiments/logs"
+    checkpoint_every_steps: int = 1000
+    num_workers: int = 4
+    knn_backend: str = "auto"
+    bf16_compute: bool = False
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "RunConfig":
+        d = json.loads(text)
+        d["sym_list"] = tuple(d.get("sym_list", ()))
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def preset(cls, dataset: str, **overrides: Any) -> "RunConfig":
+        cfg = dict(DATASET_PRESETS[dataset])
+        cfg.update(overrides)
+        return cls(dataset=dataset, **cfg)
+
+
+# Per-dataset constants (tools/train.py:56-76 + dataset classes).
+DATASET_PRESETS: dict[str, dict] = {
+    "ycb": dict(num_objects=21, num_points=1000, num_mesh_points=500,
+                refine_mesh_points=2600, repeat_epoch=1,
+                sym_list=(12, 15, 18, 19, 20)),
+    "linemod": dict(num_objects=13, num_points=500, num_mesh_points=500,
+                    refine_mesh_points=500, repeat_epoch=20,
+                    sym_list=(7, 8)),
+    "cad": dict(num_objects=5, num_points=500, num_mesh_points=500,
+                refine_mesh_points=500, repeat_epoch=1, sym_list=()),
+}
