@@ -1,0 +1,127 @@
+"""Performance benchmark CLI: per-kernel (Pallas KNN vs roofline) and
+end-to-end (inference fps, train step/s) measurements.
+
+Example::
+
+    python -m densefusion_tpu.cli.benchmark --what all
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _sync(x):
+    """Force a real device->host round-trip (block_until_ready can be a no-op
+    on experimental TPU-tunnel platforms)."""
+    import numpy as np
+    import jax
+    return np.asarray(jax.tree.leaves(x)[0])
+
+
+def bench_knn(repeats: int = 50):
+    import numpy as np
+    import jax.numpy as jnp
+    from densefusion_tpu.ops.knn import nearest_neighbor_pallas
+
+    rng = np.random.default_rng(0)
+    # training ADD-S shape: B*N*M queries vs M refs (8 x 500 hyp x 500 mesh)
+    q = jnp.asarray(rng.standard_normal((250_000, 3)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((500, 3)), jnp.float32)
+    _sync(nearest_neighbor_pallas(q, r))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = nearest_neighbor_pallas(q, r)
+        _sync(out)
+    dt = (time.perf_counter() - t0) / repeats
+    pairs = q.shape[0] * 512  # padded ref tile
+    return {"knn_us": dt * 1e6, "knn_pairs_per_s": pairs / dt}
+
+
+def bench_inference(batch: int = 16, repeats: int = 20):
+    import jax
+    import jax.numpy as jnp
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.eval import InferencePipeline
+
+    n_pts, crop, num_obj = 1000, 192, 21
+    key = jax.random.key(0)
+    img = jax.random.normal(key, (batch, crop, crop, 3), jnp.float32)
+    pts = jax.random.normal(key, (batch, n_pts, 3), jnp.float32) * 0.05
+    choose = jax.random.randint(key, (batch, n_pts), 0, crop * crop,
+                                dtype=jnp.int32)
+    obj = jax.random.randint(key, (batch,), 0, num_obj, dtype=jnp.int32)
+    posenet = PoseNet(num_obj=num_obj)
+    refiner = PoseRefineNet(num_obj=num_obj)
+    pose_params = posenet.init(key, img, pts, choose, obj)
+    out = posenet.apply(pose_params, img, pts, choose, obj)
+    refine_params = refiner.init(key, pts, out["emb"], obj)
+    pipe = InferencePipeline(posenet, refiner, refine_iters=2)
+    _sync(pipe(pose_params, refine_params, img, pts, choose, obj))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        _sync(pipe(pose_params, refine_params, img, pts, choose, obj))
+    dt = (time.perf_counter() - t0) / repeats
+    return {"inference_batch": batch, "inference_ms_per_batch": dt * 1e3,
+            "inference_fps": batch / dt}
+
+
+def bench_train_step(batch: int = 8, repeats: int = 10):
+    import numpy as np
+    import jax
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.data import PoseSample
+    from densefusion_tpu.train import create_train_state, make_pose_train_step
+    from densefusion_tpu.train.state import make_optimizer
+    from densefusion_tpu.utils.config import RunConfig
+
+    b, n, m, crop, num_obj = batch, 1000, 500, 192, 21
+    rng = np.random.default_rng(0)
+    batch_data = PoseSample(
+        points=rng.standard_normal((b, n, 3)).astype(np.float32) * 0.05,
+        choose=rng.integers(0, crop * crop, (b, n)).astype(np.int32),
+        img=rng.standard_normal((b, crop, crop, 3)).astype(np.float32),
+        target=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+        model_points=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+        obj_idx=rng.integers(0, num_obj, (b,)).astype(np.int32),
+        sym=np.zeros((b,), bool), valid=np.ones((b,), bool),
+    )
+    cfg = RunConfig.preset("ycb")
+    posenet, refiner = PoseNet(num_obj=num_obj), PoseRefineNet(num_obj=num_obj)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch_data)
+    tx = make_optimizer(cfg.lr)
+    step = make_pose_train_step(posenet, tx, use_adds=True)
+    w = np.float32(0.015)
+    state, metrics = step(state, batch_data, w)
+    _sync(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state, metrics = step(state, batch_data, w)
+        _sync(metrics["loss"])
+    dt = (time.perf_counter() - t0) / repeats
+    return {"train_batch": batch, "train_ms_per_step": dt * 1e3,
+            "train_frames_per_s": batch / dt}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--what", default="all",
+                   choices=["all", "knn", "inference", "train"])
+    p.add_argument("--batch", type=int, default=16)
+    args = p.parse_args(argv)
+    results = {}
+    if args.what in ("all", "knn"):
+        results.update(bench_knn())
+    if args.what in ("all", "inference"):
+        results.update(bench_inference(batch=args.batch))
+    if args.what in ("all", "train"):
+        results.update(bench_train_step())
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""YCB-Video keyframe evaluation CLI.
+
+Capability parity with ``tools/eval_ycb.py`` + the MATLAB toolbox
+(``replace_ycb_toolbox/*.m``), fully in-repo: runs PoseNet + 2 refinement
+iterations on every PoseCNN detection over the 2949 keyframes, writes the
+same per-frame ``.mat`` pose results (``Densefusion_wo_refine_result`` /
+``Densefusion_iterative_result``), and computes ADD-S AUC, ADD AUC, and <2cm
+directly (VOCap semantics).
+
+Example::
+
+    python -m densefusion_tpu.cli.eval_ycb \
+        --dataset_root /data/YCB_Video_Dataset \
+        --posecnn_results YCB_Video_toolbox/results_PoseCNN_RSS2018 \
+        --checkpoint trained_models/ycb/checkpoint_best_refine
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--posecnn_results", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--num_points", type=int, default=1000)
+    p.add_argument("--crop_size", type=int, default=192)
+    p.add_argument("--num_keyframes", type=int, default=2949)
+    p.add_argument("--output_dir", default="experiments/eval_result/ycb")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    import jax
+    import scipy.io as scio
+
+    from densefusion_tpu.data import collate
+    from densefusion_tpu.data.ycb import YCBPoseCNNEvalDataset
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.eval import (
+        InferencePipeline, pose_distances, vocap_auc,
+        accuracy_under_threshold,
+    )
+    from densefusion_tpu.train import create_train_state, load_checkpoint
+    from densefusion_tpu.utils.config import RunConfig
+    from densefusion_tpu.utils.logging import setup_logger
+
+    wo_dir = os.path.join(args.output_dir, "Densefusion_wo_refine_result")
+    it_dir = os.path.join(args.output_dir, "Densefusion_iterative_result")
+    os.makedirs(wo_dir, exist_ok=True)
+    os.makedirs(it_dir, exist_ok=True)
+    logger = setup_logger("eval_ycb",
+                          os.path.join(args.output_dir, "eval_log.txt"))
+
+    ds = YCBPoseCNNEvalDataset(args.dataset_root, args.posecnn_results,
+                               num_points=args.num_points,
+                               crop_size=args.crop_size,
+                               num_keyframes=args.num_keyframes)
+    num_obj = len(ds.classes)
+    posenet = PoseNet(num_obj=num_obj)
+    refiner = PoseRefineNet(num_obj=num_obj)
+    cfg = RunConfig.preset("ycb", num_points=args.num_points,
+                           crop_size=args.crop_size)
+
+    pipe0 = InferencePipeline(posenet, refiner, refine_iters=0)
+    pipe = InferencePipeline(posenet, refiner,
+                             refine_iters=args.iterations)
+    dist_fn = jax.jit(pose_distances)
+    adds_fn = jax.jit(lambda m, q, t, tgt: pose_distances(
+        m, q, t, tgt, sym=np.ones(1, bool)))
+
+    state = None
+    dists_sys, dists_non, cls_ids = [], [], []
+    for frame_idx in range(len(ds)):
+        dets = ds.detections(frame_idx)
+        wo_poses, it_poses = [], []
+        for sample, _, itemid in dets:
+            batch = collate([sample])
+            if state is None:
+                state = create_train_state(posenet, refiner, cfg,
+                                           jax.random.key(0), batch)
+                state, _, _ = load_checkpoint(args.checkpoint, state)
+            if not sample.valid:
+                # lost detection -> zero pose (tools/eval_ycb.py:234-237)
+                wo_poses.append([0.0] * 7)
+                it_poses.append([0.0] * 7)
+                continue
+            inputs = (batch.img, batch.points, batch.choose, batch.obj_idx)
+            q0, t0, _ = pipe0(state.params_pose, state.params_refine, *inputs)
+            q, t, _ = pipe(state.params_pose, state.params_refine, *inputs)
+            wo_poses.append(np.concatenate(
+                [np.asarray(q0)[0], np.asarray(t0)[0]]).tolist())
+            it_poses.append(np.concatenate(
+                [np.asarray(q)[0], np.asarray(t)[0]]).tolist())
+
+            d_adds = float(np.asarray(adds_fn(
+                batch.model_points, q, t, batch.target))[0])
+            d_add = float(np.asarray(dist_fn(
+                batch.model_points, q, t, batch.target,
+                np.zeros(1, bool)))[0])
+            dists_sys.append(d_adds)
+            dists_non.append(d_add)
+            cls_ids.append(itemid)
+
+        scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
+                     {"poses": wo_poses})
+        scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
+                     {"poses": it_poses})
+        if frame_idx % 100 == 0:
+            logger.info(f"Finish No.{frame_idx} keyframe")
+
+    dists_sys = np.asarray(dists_sys)
+    dists_non = np.asarray(dists_non)
+    cls_ids = np.asarray(cls_ids)
+    summary = {
+        "adds_auc": vocap_auc(dists_sys) * 100,
+        "add_auc": vocap_auc(dists_non) * 100,
+        "adds_under_2cm": accuracy_under_threshold(dists_sys) * 100,
+        "per_class": {},
+    }
+    for cid, cls in enumerate(ds.classes, start=1):
+        sel = cls_ids == cid
+        if sel.any():
+            summary["per_class"][cls] = {
+                "adds_auc": vocap_auc(dists_sys[sel]) * 100,
+                "add_auc": vocap_auc(dists_non[sel]) * 100,
+                "adds_under_2cm":
+                    accuracy_under_threshold(dists_sys[sel]) * 100,
+            }
+    with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    logger.info(f"ADD-S AUC: {summary['adds_auc']:.2f}  "
+                f"ADD AUC: {summary['add_auc']:.2f}  "
+                f"<2cm: {summary['adds_under_2cm']:.2f}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Pose-estimation training CLI (capability parity with ``tools/train.py``).
+
+Example::
+
+    python -m densefusion_tpu.cli.train --dataset linemod \
+        --dataset_root /data/Linemod_preprocessed --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="linemod",
+                   choices=["ycb", "linemod", "cad"])
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_rate", type=float, default=0.1)
+    p.add_argument("--w", type=float, default=0.015)
+    p.add_argument("--w_rate", type=float, default=0.1)
+    p.add_argument("--decay_margin", type=float, default=0.03)
+    p.add_argument("--refine_margin", type=float, default=0.02)
+    p.add_argument("--noise_trans", type=float, default=0.03)
+    p.add_argument("--iteration", type=int, default=2,
+                   help="refinement iterations")
+    p.add_argument("--nepoch", type=int, default=500)
+    p.add_argument("--crop_size", type=int, default=192)
+    p.add_argument("--resume", default="",
+                   help="checkpoint directory to resume from")
+    p.add_argument("--out_dir", default="trained_models")
+    p.add_argument("--log_dir", default="experiments/logs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all available devices")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from densefusion_tpu.utils.config import RunConfig
+    from densefusion_tpu.train import Trainer
+
+    cfg = RunConfig.preset(
+        args.dataset,
+        dataset_root=args.dataset_root, batch_size=args.batch_size,
+        grad_accum=args.grad_accum, num_workers=args.workers, lr=args.lr,
+        lr_rate=args.lr_rate, w=args.w, w_rate=args.w_rate,
+        decay_margin=args.decay_margin, refine_margin=args.refine_margin,
+        noise_trans=args.noise_trans, refine_iters=args.iteration,
+        nepoch=args.nepoch, crop_size=args.crop_size, seed=args.seed,
+        out_dir=f"{args.out_dir}/{args.dataset}",
+        log_dir=f"{args.log_dir}/{args.dataset}",
+    )
+
+    shard_batch = None
+    if args.data_parallel:
+        from densefusion_tpu.parallel import (
+            make_mesh, make_shard_batch_fn, initialize_distributed,
+        )
+        initialize_distributed()
+        shard_batch = make_shard_batch_fn(make_mesh())
+
+    trainer = Trainer(cfg, shard_batch=shard_batch)
+    trainer.setup(resume=args.resume or None)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

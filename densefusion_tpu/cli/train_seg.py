@@ -1,0 +1,93 @@
+"""SegNet segmentation training CLI (capability parity with
+``vanilla_segmentation/train.py``).
+
+Example::
+
+    python -m densefusion_tpu.cli.train_seg \
+        --dataset_root /data/YCB_Video_Dataset --batch_size 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--n_epochs", type=int, default=600)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--num_classes", type=int, default=22)
+    p.add_argument("--out_dir", default="trained_models/segnet")
+    p.add_argument("--log_dir", default="experiments/logs/segnet")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    import jax
+    from flax import serialization
+
+    from densefusion_tpu.data import SegDataset, BatchLoader, collate_seg
+    from densefusion_tpu.data.loader import PrefetchIterator
+    from densefusion_tpu.models import SegNet
+    from densefusion_tpu.train.seg import (
+        create_seg_train_state, make_seg_train_step, make_seg_eval_step,
+    )
+    from densefusion_tpu.utils.logging import setup_logger, MetricsWriter
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    logger = setup_logger("train_seg",
+                          os.path.join(args.log_dir, "train_log.txt"))
+    metrics = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
+
+    train_ds = SegDataset(args.dataset_root, "train", seed=args.seed)
+    test_ds = SegDataset(args.dataset_root, "test", seed=args.seed)
+    train_loader = BatchLoader(train_ds, args.batch_size,
+                               collate_fn=collate_seg,
+                               num_workers=args.workers, seed=args.seed)
+    test_loader = BatchLoader(test_ds, args.batch_size, shuffle=False,
+                              collate_fn=collate_seg, drop_last=False,
+                              num_workers=args.workers)
+
+    segnet = SegNet(num_classes=args.num_classes)
+    sample = next(iter(train_loader.epoch(0)))
+    state, tx = create_seg_train_state(segnet, jax.random.key(args.seed),
+                                       sample.rgb, lr=args.lr)
+    train_step = make_seg_train_step(segnet, tx)
+    eval_step = make_seg_eval_step(segnet)
+
+    best = np.inf
+    for epoch in range(1, args.n_epochs + 1):
+        losses = []
+        for batch in PrefetchIterator(train_loader.epoch(epoch)):
+            state, loss = train_step(state, batch.rgb, batch.label)
+            losses.append(float(loss))
+        test_losses, accs = [], []
+        for batch in PrefetchIterator(test_loader.epoch(0)):
+            loss, acc = eval_step(state.params, state.batch_stats,
+                                  batch.rgb, batch.label)
+            test_losses.append(float(loss))
+            accs.append(float(acc))
+        tr, te, acc = (np.mean(losses), np.mean(test_losses), np.mean(accs))
+        logger.info(f"epoch {epoch} train {tr:.4f} test {te:.4f} "
+                    f"pix-acc {acc:.4f}")
+        metrics.write(kind="seg_epoch", epoch=epoch, train_loss=tr,
+                      test_loss=te, pixel_acc=acc)
+        if te < best:  # best-checkpoint policy (vanilla train.py:103-106)
+            best = te
+            with open(os.path.join(args.out_dir, "segnet_best.msgpack"),
+                      "wb") as f:
+                f.write(serialization.to_bytes(jax.device_get(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats})))
+            logger.info(f"epoch {epoch} BEST saved ({te:.4f})")
+
+
+if __name__ == "__main__":
+    main()

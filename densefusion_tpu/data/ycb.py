@@ -199,3 +199,91 @@ class YCBDataset:
             num_points=self.num_points, crop_size=self.crop_size,
             rng=self.rng, add_t=add_t,
         )
+
+
+class YCBPoseCNNEvalDataset:
+    """YCB keyframe eval set driven by PoseCNN detections.
+
+    Capability parity with the inline preprocessing of ``tools/eval_ycb.py``
+    (:54-190): for each of the 2949 keyframes, each PoseCNN roi becomes one
+    sample — bbox from the roi (snapped to the ladder), mask from the PoseCNN
+    label image ∧ valid depth, 1000-point cloud at cam_scale 10000. The
+    ground-truth pose from the frame meta rides along so ADD(-S) metrics are
+    computed in-repo (replacing the MATLAB toolbox).
+
+    Iteration yields ``(PoseSample, frame_index, itemid)`` per detection.
+    """
+
+    def __init__(self, root: str, posecnn_results_dir: str,
+                 num_points: int = 1000, crop_size: int = 192,
+                 config_dir: str | None = None, num_keyframes: int = 2949,
+                 seed: int = 0):
+        self.root = root
+        self.posecnn_dir = posecnn_results_dir
+        self.num_points = num_points
+        self.crop_size = crop_size
+        self.rng = np.random.default_rng(seed)
+        cfg = config_dir or os.path.join(root, "dataset_config")
+        with open(os.path.join(cfg, "test_data_list.txt")) as f:
+            self.frames = [ln.strip() for ln in f if ln.strip()]
+        self.frames = self.frames[:num_keyframes]
+        with open(os.path.join(cfg, "classes.txt")) as f:
+            self.classes = [ln.strip() for ln in f if ln.strip()]
+        self.models: dict[int, np.ndarray] = {}
+        for cid, cls in enumerate(self.classes, start=1):
+            pts_file = os.path.join(root, "models", cls, "points.xyz")
+            self.models[cid] = np.loadtxt(pts_file, dtype=np.float32)
+
+    def __len__(self):
+        return len(self.frames)
+
+    def detections(self, frame_idx: int):
+        """All PoseCNN detections of one keyframe."""
+        frame = self.frames[frame_idx]
+        base = os.path.join(self.root, frame)
+        rgb = _load_image(base + "-color.png")[..., :3]
+        depth = _load_image(base + "-depth.png")
+        meta = _load_mat(base + "-meta.mat")
+        posecnn = _load_mat(os.path.join(self.posecnn_dir,
+                                         f"{frame_idx:06d}.mat"))
+        label = np.asarray(posecnn["labels"])
+        rois = np.asarray(posecnn["rois"])
+
+        cam = YCB_CAM_1  # keyframes are all video < 60 (tools/eval_ycb.py:37)
+        cam_scale = 10000.0
+        gt_ids = meta["cls_indexes"].flatten().astype(np.int32)
+
+        out = []
+        for k in range(rois.shape[0]):
+            itemid = int(rois[k, 1])
+            # roi bbox (tools/eval_ycb.py:55-58)
+            rmin, rmax = int(rois[k][3]) + 1, int(rois[k][5]) - 1
+            cmin, cmax = int(rois[k][2]) + 1, int(rois[k][4]) - 1
+            mask = (label == itemid) & (depth != 0)
+
+            model = subsample_model_points(self.models[itemid], 500, self.rng)
+            # gt pose for metric (evaluate_poses_keyframe.m pairing by class)
+            which = np.flatnonzero(gt_ids == itemid)
+            if which.size:
+                pose = meta["poses"][:, :, which[0]]
+                target = model @ pose[:, :3].astype(np.float64).T + \
+                    pose[:, 3].astype(np.float64)
+            else:
+                target = model  # false positive: no gt — distance vs itself
+
+            def point_fn(rows, cols, depth=depth):
+                z = depth[rows, cols].astype(np.float32) / cam_scale
+                x3 = (cols.astype(np.float32) - cam.cx) * z / cam.fx
+                y3 = (rows.astype(np.float32) - cam.cy) * z / cam.fy
+                return np.stack([x3, y3, z], -1)
+
+            sample = assemble_sample(
+                rgb=rgb, mask=mask, bbox=(rmin, rmax, cmin, cmax),
+                point_fn=point_fn, model_points=model, target=target,
+                obj_idx=itemid - 1, sym=(itemid - 1) in YCB_SYM,
+                num_points=self.num_points, crop_size=self.crop_size,
+                rng=self.rng)
+            if not bool(sample.valid) or which.size == 0:
+                sample = sample._replace(valid=np.zeros((), bool))
+            out.append((sample, frame_idx, itemid))
+        return out

@@ -1,0 +1,67 @@
+"""SegNet segmentation training (re-design of
+``vanilla_segmentation/train.py:24-106``): Adam + per-pixel CE over 22
+classes, per-epoch train/test with best-checkpoint selection. BatchNorm
+statistics ride in the train state (flax mutable collection)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from densefusion_tpu.losses import segmentation_loss
+
+
+@struct.dataclass
+class SegTrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_seg_train_state(segnet, rng, sample_rgb, lr: float = 1e-4):
+    variables = segnet.init(rng, sample_rgb, train=False)
+    tx = optax.adam(lr)
+    return SegTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    ), tx
+
+
+def make_seg_train_step(segnet, tx):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: SegTrainState, rgb, label):
+        def loss_fn(params):
+            logits, mutated = segnet.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                rgb, train=True, mutable=["batch_stats"])
+            return segmentation_loss(logits, label), mutated["batch_stats"]
+
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             batch_stats=batch_stats,
+                             opt_state=opt_state), loss
+
+    return step
+
+
+def make_seg_eval_step(segnet):
+    @jax.jit
+    def step(params, batch_stats, rgb, label):
+        logits = segnet.apply({"params": params, "batch_stats": batch_stats},
+                              rgb, train=False)
+        loss = segmentation_loss(logits, label)
+        acc = jnp.mean((jnp.argmax(logits, -1) == label).astype(jnp.float32))
+        return loss, acc
+
+    return step

@@ -1,0 +1,64 @@
+"""CLI smoke tests: train briefly on the synthetic fixture, checkpoint, then
+drive the eval_linemod CLI end-to-end (loader -> pipeline -> metrics -> log
+files)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from densefusion_tpu.data import generate_linemod_style_dataset
+from densefusion_tpu.models import PoseNet, PoseRefineNet
+from densefusion_tpu.train import Trainer, save_checkpoint
+from densefusion_tpu.utils.config import RunConfig
+from densefusion_tpu.cli import eval_linemod as eval_linemod_cli
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lm_cli"))
+    generate_linemod_style_dataset(root, objlist=(1,), n_train=4, n_test=20,
+                                   seed=4)
+    out = str(tmp_path_factory.mktemp("cli_out"))
+    cfg = RunConfig(
+        dataset="linemod", dataset_root=root, num_objects=1, num_points=64,
+        num_mesh_points=64, refine_mesh_points=64, crop_size=64,
+        batch_size=2, num_workers=1, repeat_epoch=1,
+        out_dir=out, log_dir=os.path.join(out, "logs"), sym_list=(),
+        knn_backend="xla", checkpoint_every_steps=10**9)
+
+    def factory(c, mode, refine):
+        from densefusion_tpu.data import LineModDataset
+        return LineModDataset(
+            root=c.dataset_root, mode=mode, num_points=c.num_points,
+            crop_size=c.crop_size, refine=refine, seed=c.seed,
+            num_mesh_points=c.num_mesh_points, objlist=[1],
+            add_noise=(mode == "train"))
+
+    tr = Trainer(cfg, posenet=PoseNet(num_obj=1),
+                 refiner=PoseRefineNet(num_obj=1), dataset_factory=factory)
+    tr.setup()
+    tr.train_epoch()
+    path = os.path.join(out, "checkpoint_smoke")
+    save_checkpoint(path, tr.state, tr.curriculum, cfg)
+    return root, path, out
+
+
+def test_eval_linemod_cli(trained_ckpt):
+    root, ckpt, out = trained_ckpt
+    rate = eval_linemod_cli.main([
+        "--dataset_root", root, "--checkpoint", ckpt,
+        "--iterations", "2", "--num_points", "64", "--num_mesh", "64",
+        "--crop_size", "64", "--batch_size", "2", "--mode", "eval",
+        "--objlist", "1",
+        "--output_dir", os.path.join(out, "eval"),
+    ])
+    assert 0.0 <= rate <= 1.0
+    assert os.path.exists(os.path.join(out, "eval", "eval_result_logs.txt"))
+
+
+def test_train_cli_parser_defaults():
+    from densefusion_tpu.cli.train import build_parser
+    args = build_parser().parse_args(["--dataset_root", "/x"])
+    assert args.dataset == "linemod" and args.batch_size == 8
+    assert isinstance(args.lr, float)  # reference had untyped string flags

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Thin wrapper: see densefusion_tpu.cli.benchmark (layout parity with the
+reference's tools/ entry points)."""
+from densefusion_tpu.cli.benchmark import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Thin wrapper: see densefusion_tpu.cli.eval_cad (layout parity with the
+reference's tools/ entry points)."""
+from densefusion_tpu.cli.eval_cad import main
+
+if __name__ == "__main__":
+    main()
