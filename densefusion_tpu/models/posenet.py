@@ -33,18 +33,24 @@ class DenseFusionFeat(nn.Module):
     The global feature is an average pool over the point axis, tiled back.
     """
 
+    dtype: type | None = None
+
     @nn.compact
     def __call__(self, points, emb):
-        g1 = nn.relu(nn.Dense(64, name="geo1")(points))
-        c1 = nn.relu(nn.Dense(64, name="col1")(emb))
+        d = dict(dtype=self.dtype)
+        if self.dtype is not None:
+            points = points.astype(self.dtype)
+            emb = emb.astype(self.dtype)
+        g1 = nn.relu(nn.Dense(64, name="geo1", **d)(points))
+        c1 = nn.relu(nn.Dense(64, name="col1", **d)(emb))
         feat1 = jnp.concatenate([g1, c1], axis=-1)            # (B, N, 128)
 
-        g2 = nn.relu(nn.Dense(128, name="geo2")(g1))
-        c2 = nn.relu(nn.Dense(128, name="col2")(c1))
+        g2 = nn.relu(nn.Dense(128, name="geo2", **d)(g1))
+        c2 = nn.relu(nn.Dense(128, name="col2", **d)(c1))
         feat2 = jnp.concatenate([g2, c2], axis=-1)            # (B, N, 256)
 
-        x = nn.relu(nn.Dense(512, name="mix1")(feat2))
-        x = nn.relu(nn.Dense(1024, name="mix2")(x))
+        x = nn.relu(nn.Dense(512, name="mix1", **d)(feat2))
+        x = nn.relu(nn.Dense(1024, name="mix2", **d)(x))
         global_feat = jnp.mean(x, axis=-2, keepdims=True)     # (B, 1, 1024)
         global_feat = jnp.broadcast_to(
             global_feat, x.shape[:-1] + (1024,))
@@ -57,13 +63,15 @@ class _HeadStack(nn.Module):
 
     num_obj: int
     out_dim: int
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(640, name="fc1")(x))
-        x = nn.relu(nn.Dense(256, name="fc2")(x))
-        x = nn.relu(nn.Dense(128, name="fc3")(x))
-        x = nn.Dense(self.num_obj * self.out_dim, name="fc4")(x)
+        d = dict(dtype=self.dtype)
+        x = nn.relu(nn.Dense(640, name="fc1", **d)(x))
+        x = nn.relu(nn.Dense(256, name="fc2", **d)(x))
+        x = nn.relu(nn.Dense(128, name="fc3", **d)(x))
+        x = nn.Dense(self.num_obj * self.out_dim, name="fc4", **d)(x)
         return x.reshape(x.shape[:-1] + (self.num_obj, self.out_dim))
 
 
@@ -97,25 +105,28 @@ class PoseNet(nn.Module):
     num_obj: int
     cnn_variant: str = "resnet18"
     emb_dim: int = 32
+    dtype: type | None = None    # bf16 compute path: set jnp.bfloat16
 
     @nn.compact
     def __call__(self, img, points, choose, obj, train: bool = False):
         emb_map = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
-                         name="cnn")(img, train=train)
+                         dtype=self.dtype, name="cnn")(img, train=train)
         b, h, w, d = emb_map.shape
         flat = emb_map.reshape(b, h * w, d)
         emb = jnp.take_along_axis(
             flat, choose.astype(jnp.int32)[..., None], axis=1)  # (B, N, d)
 
-        feat = DenseFusionFeat(name="fusion")(points, emb)      # (B, N, 1408)
+        feat = DenseFusionFeat(dtype=self.dtype,
+                               name="fusion")(points, emb)    # (B, N, 1408)
 
-        rx = _HeadStack(self.num_obj, 4, name="head_r")(feat)
-        tx = _HeadStack(self.num_obj, 3, name="head_t")(feat)
-        cx = _HeadStack(self.num_obj, 1, name="head_c")(feat)
+        rx = _HeadStack(self.num_obj, 4, dtype=self.dtype, name="head_r")(feat)
+        tx = _HeadStack(self.num_obj, 3, dtype=self.dtype, name="head_t")(feat)
+        cx = _HeadStack(self.num_obj, 1, dtype=self.dtype, name="head_c")(feat)
 
-        pred_r = select_object(rx, obj)
-        pred_t = select_object(tx, obj)
-        pred_c = jax.nn.sigmoid(select_object(cx, obj))[..., 0]
+        pred_r = select_object(rx, obj).astype(jnp.float32)
+        pred_t = select_object(tx, obj).astype(jnp.float32)
+        pred_c = jax.nn.sigmoid(
+            select_object(cx, obj).astype(jnp.float32))[..., 0]
         return {
             "pred_r": pred_r,
             "pred_t": pred_t,

@@ -30,6 +30,7 @@ class PSPModule(nn.Module):
 
     out_features: int = 1024
     sizes: Sequence[int] = (1, 2, 3, 6)
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -39,11 +40,12 @@ class PSPModule(nn.Module):
         for size in self.sizes:
             p = adaptive_avg_pool2d(x, (size, size))
             p = nn.Conv(feats, (1, 1), use_bias=False,
-                        kernel_init=he_normal_fan_out,
+                        kernel_init=he_normal_fan_out, dtype=self.dtype,
                         name=f"prior_{size}")(p)
             priors.append(resize_bilinear(p, (h, w)))
         priors.append(x)
         y = nn.Conv(self.out_features, (1, 1), kernel_init=he_normal_fan_out,
+                    dtype=self.dtype,
                     name="bottleneck")(jnp.concatenate(priors, axis=-1))
         return nn.relu(y)
 
@@ -52,13 +54,15 @@ class PSPUpsample(nn.Module):
     """2x bilinear upsample -> conv3x3 -> PReLU (``lib/pspnet.py:27-37``)."""
 
     features: int
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
         h, w = x.shape[-3], x.shape[-2]
         x = resize_bilinear(x, (2 * h, 2 * w))
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    kernel_init=he_normal_fan_out, name="conv")(x)
+                    kernel_init=he_normal_fan_out, dtype=self.dtype,
+                    name="conv")(x)
         return PReLU(name="prelu")(x)
 
 
@@ -77,22 +81,26 @@ class PSPNet(nn.Module):
     drop1: float = 0.3
     drop2: float = 0.15
     log_softmax_emb: bool = True
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f, _class_f = DilatedResNet(variant=self.variant, name="trunk")(x)
+        f, _class_f = DilatedResNet(variant=self.variant, dtype=self.dtype,
+                                    name="trunk")(x)
         p = PSPModule(out_features=self.psp_out, sizes=self.sizes,
-                      name="psp")(f)
+                      dtype=self.dtype, name="psp")(f)
         p = Dropout2d(self.drop1, name="drop1")(p, deterministic=not train)
 
-        p = PSPUpsample(256, name="up1")(p)
+        p = PSPUpsample(256, dtype=self.dtype, name="up1")(p)
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
-        p = PSPUpsample(64, name="up2")(p)
+        p = PSPUpsample(64, dtype=self.dtype, name="up2")(p)
         p = Dropout2d(self.drop2, name="drop2b")(p, deterministic=not train)
-        p = PSPUpsample(64, name="up3")(p)
+        p = PSPUpsample(64, dtype=self.dtype, name="up3")(p)
 
         p = nn.Conv(self.emb_dim, (1, 1), kernel_init=he_normal_fan_out,
-                    name="final")(p)
+                    dtype=self.dtype, name="final")(p)
+        # log-softmax in f32 for numerical stability under bf16 compute
+        p = p.astype(jnp.float32)
         if self.log_softmax_emb:
             p = jax.nn.log_softmax(p, axis=-1)
         return p

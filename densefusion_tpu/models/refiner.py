@@ -23,19 +23,25 @@ class RefineFeat(nn.Module):
     two levels are themselves concatenated (128 + 256 = 384) before the
     512/1024 mix, and only the pooled global vector is returned."""
 
+    dtype: type | None = None
+
     @nn.compact
     def __call__(self, points, emb):
-        g1 = nn.relu(nn.Dense(64, name="geo1")(points))
-        c1 = nn.relu(nn.Dense(64, name="col1")(emb))
+        d = dict(dtype=self.dtype)
+        if self.dtype is not None:
+            points = points.astype(self.dtype)
+            emb = emb.astype(self.dtype)
+        g1 = nn.relu(nn.Dense(64, name="geo1", **d)(points))
+        c1 = nn.relu(nn.Dense(64, name="col1", **d)(emb))
         feat1 = jnp.concatenate([g1, c1], axis=-1)             # (B, N, 128)
 
-        g2 = nn.relu(nn.Dense(128, name="geo2")(g1))
-        c2 = nn.relu(nn.Dense(128, name="col2")(c1))
+        g2 = nn.relu(nn.Dense(128, name="geo2", **d)(g1))
+        c2 = nn.relu(nn.Dense(128, name="col2", **d)(c1))
         feat2 = jnp.concatenate([g2, c2], axis=-1)             # (B, N, 256)
 
         x = jnp.concatenate([feat1, feat2], axis=-1)           # (B, N, 384)
-        x = nn.relu(nn.Dense(512, name="mix1")(x))
-        x = nn.relu(nn.Dense(1024, name="mix2")(x))
+        x = nn.relu(nn.Dense(512, name="mix1", **d)(x))
+        x = nn.relu(nn.Dense(1024, name="mix2", **d)(x))
         return jnp.mean(x, axis=-2)                            # (B, 1024)
 
 
@@ -48,15 +54,19 @@ class PoseRefineNet(nn.Module):
     """
 
     num_obj: int
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, points, emb, obj):
-        feat = RefineFeat(name="fusion")(points, emb)          # (B, 1024)
+        feat = RefineFeat(dtype=self.dtype,
+                          name="fusion")(points, emb)          # (B, 1024)
 
         def head(out_dim, name):
-            x = nn.relu(nn.Dense(512, name=f"{name}_fc1")(feat))
-            x = nn.relu(nn.Dense(128, name=f"{name}_fc2")(x))
-            x = nn.Dense(self.num_obj * out_dim, name=f"{name}_fc3")(x)
+            d = dict(dtype=self.dtype)
+            x = nn.relu(nn.Dense(512, name=f"{name}_fc1", **d)(feat))
+            x = nn.relu(nn.Dense(128, name=f"{name}_fc2", **d)(x))
+            x = nn.Dense(self.num_obj * out_dim, name=f"{name}_fc3", **d)(x)
+            x = x.astype(jnp.float32)
             x = x.reshape(x.shape[0], 1, self.num_obj, out_dim)
             return select_object(x, obj)[:, 0, :]              # (B, out_dim)
 

@@ -20,12 +20,12 @@ from densefusion_tpu.models.layers import he_normal_fan_out
 
 
 def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
-          name: str | None = None):
+          name: str | None = None, dtype=None):
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride),
         kernel_dilation=(dilation, dilation),
         padding=[(dilation * (kernel // 2),) * 2] * 2 if kernel > 1 else "VALID",
-        use_bias=False, kernel_init=he_normal_fan_out, name=name,
+        use_bias=False, kernel_init=he_normal_fan_out, name=name, dtype=dtype,
     )
 
 
@@ -36,15 +36,18 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dilation: int = 1
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = _conv(self.features, 3, self.stride, self.dilation, "conv1")(x)
+        y = _conv(self.features, 3, self.stride, self.dilation, "conv1",
+                  self.dtype)(x)
         y = nn.relu(y)
-        y = _conv(self.features, 3, 1, self.dilation, "conv2")(y)
+        y = _conv(self.features, 3, 1, self.dilation, "conv2", self.dtype)(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = _conv(self.features, 1, self.stride, name="proj")(x)
+            residual = _conv(self.features, 1, self.stride, name="proj",
+                             dtype=self.dtype)(x)
         return nn.relu(y + residual)
 
 
@@ -55,18 +58,21 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     expansion: int = 4
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.features * self.expansion
         residual = x
-        y = _conv(self.features, 1, name="conv1")(x)
+        y = _conv(self.features, 1, name="conv1", dtype=self.dtype)(x)
         y = nn.relu(y)
-        y = _conv(self.features, 3, self.stride, self.dilation, "conv2")(y)
+        y = _conv(self.features, 3, self.stride, self.dilation, "conv2",
+                  self.dtype)(y)
         y = nn.relu(y)
-        y = _conv(out_ch, 1, name="conv3")(y)
+        y = _conv(out_ch, 1, name="conv3", dtype=self.dtype)(y)
         if self.stride != 1 or x.shape[-1] != out_ch:
-            residual = _conv(out_ch, 1, self.stride, name="proj")(x)
+            residual = _conv(out_ch, 1, self.stride, name="proj",
+                             dtype=self.dtype)(x)
         return nn.relu(y + residual)
 
 
@@ -85,11 +91,14 @@ class DilatedResNet(nn.Module):
     (``lib/extractors.py:114-124``)."""
 
     variant: str = "resnet18"
+    dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
         block_cls, depths = RESNET_SPECS[self.variant]
-        x = _conv(64, 7, 2, name="stem")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = _conv(64, 7, 2, name="stem", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -101,6 +110,7 @@ class DilatedResNet(nn.Module):
             for b in range(depths[s]):
                 x = block_cls(
                     features=features,
+                    dtype=self.dtype,
                     stride=stride if b == 0 else 1,
                     # reference quirk: the FIRST block of each stage uses
                     # dilation 1 (only `stride` is passed at
