@@ -14,8 +14,11 @@ from typing import Callable
 
 import numpy as np
 
+from densefusion_tpu import native
 from densefusion_tpu.geometry.bbox import snap_bbox, bbox_from_mask
-from densefusion_tpu.data.schema import PoseSample, normalize_image
+from densefusion_tpu.data.schema import (
+    PoseSample, normalize_image, IMAGENET_MEAN, IMAGENET_STD,
+)
 from densefusion_tpu.data.augment import resize_bilinear_np
 
 
@@ -69,15 +72,28 @@ def assemble_sample(
         cloud = cloud + add_t
         tgt = tgt + add_t
 
-    img = normalize_image(rgb[rmin:rmax, cmin:cmax])
-    if (crop_h, crop_w) != (crop_size, crop_size):
-        img = resize_bilinear_np(img, crop_size, crop_size)
-        # nearest-pixel correspondence under the same half-pixel mapping
-        new_r = np.clip(np.round((rows - rmin + 0.5) * crop_size / crop_h - 0.5),
-                        0, crop_size - 1)
-        new_c = np.clip(np.round((cols - cmin + 0.5) * crop_size / crop_w - 0.5),
-                        0, crop_size - 1)
-        choose = (new_r * crop_size + new_c).astype(np.int64)
+    crop_rgb = rgb[rmin:rmax, cmin:cmax]
+    if native.available():
+        # fused normalize+resize in the native data-plane (runtime/dfnative)
+        img = native.normalize_resize(crop_rgb, crop_size, crop_size,
+                                      IMAGENET_MEAN, IMAGENET_STD)
+        if (crop_h, crop_w) != (crop_size, crop_size):
+            choose = native.remap_choose(
+                (rows - rmin) * crop_w + (cols - cmin),
+                crop_h, crop_w, crop_size, crop_size)
+    else:
+        img = normalize_image(crop_rgb)
+        if (crop_h, crop_w) != (crop_size, crop_size):
+            img = resize_bilinear_np(img, crop_size, crop_size)
+            # nearest-pixel correspondence under the same half-pixel mapping
+            # (ties half-up == floor((x+0.5)*scale), matching the native path)
+            new_r = np.clip(
+                np.floor((rows - rmin + 0.5) * crop_size / crop_h),
+                0, crop_size - 1)
+            new_c = np.clip(
+                np.floor((cols - cmin + 0.5) * crop_size / crop_w),
+                0, crop_size - 1)
+            choose = (new_r * crop_size + new_c).astype(np.int64)
 
     return PoseSample(
         points=cloud,

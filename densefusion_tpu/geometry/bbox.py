@@ -97,7 +97,8 @@ def remap_choose_to_resized(choose: np.ndarray, crop_h: int, crop_w: int,
     """
     rows = choose // crop_w
     cols = choose % crop_w
-    # Nearest-neighbor under the half-pixel (align_corners=False) convention.
-    new_rows = np.clip(((rows + 0.5) * out_h / crop_h - 0.5).round(), 0, out_h - 1)
-    new_cols = np.clip(((cols + 0.5) * out_w / crop_w - 0.5).round(), 0, out_w - 1)
+    # Nearest-neighbor under the half-pixel (align_corners=False) convention;
+    # ties round half-up (lround semantics, matching the native data-plane).
+    new_rows = np.clip(np.floor((rows + 0.5) * out_h / crop_h), 0, out_h - 1)
+    new_cols = np.clip(np.floor((cols + 0.5) * out_w / crop_w), 0, out_w - 1)
     return (new_rows * out_w + new_cols).astype(choose.dtype)

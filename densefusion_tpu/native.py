@@ -1,0 +1,146 @@
+"""ctypes bindings for the native host data-plane library (runtime/dfnative.cpp).
+
+Auto-builds ``runtime/libdfnative.so`` with g++ on first import if missing;
+every entry point has a numpy fallback so the framework degrades gracefully
+where no compiler exists. The data readers route their per-sample hot loop
+(choose sampling, back-projection, normalize+resize, choose remap) through
+here (see ``data/common.py``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_RUNTIME_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "runtime")
+_LIB_PATH = os.path.join(_RUNTIME_DIR, "libdfnative.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f32p = ctypes.POINTER(ctypes.c_float)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    src = os.path.join(_RUNTIME_DIR, "dfnative.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o",
+             _LIB_PATH, src],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.df_choose_pixels.restype = ctypes.c_int64
+        lib.df_choose_pixels.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, _i64p]
+        lib.df_backproject.restype = None
+        lib.df_backproject.argtypes = [
+            _f32p, _i64p, _i64p, ctypes.c_int64] + [ctypes.c_float] * 6 \
+            + [_f32p]
+        lib.df_normalize_resize.restype = None
+        lib.df_normalize_resize.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, _f32p, ctypes.c_int64,
+            ctypes.c_int64, _f32p, _f32p]
+        lib.df_normalize_resize_f32.restype = None
+        lib.df_normalize_resize_f32.argtypes = [
+            _f32p, ctypes.c_int64, ctypes.c_int64, _f32p, ctypes.c_int64,
+            ctypes.c_int64, _f32p, _f32p]
+        lib.df_remap_choose.restype = None
+        lib.df_remap_choose.argtypes = [
+            _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, _i64p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctype)
+
+
+def choose_pixels(mask: np.ndarray, num_points: int,
+                  seed: int) -> np.ndarray | None:
+    """Native equivalent of data.common.choose_mask_pixels (subsample differs
+    only in RNG stream; both are uniform without replacement)."""
+    lib = _load()
+    mask_u8 = np.ascontiguousarray(mask.reshape(-1), dtype=np.uint8)
+    out = np.empty(num_points, np.int64)
+    found = lib.df_choose_pixels(
+        _ptr(mask_u8, _u8p), mask_u8.size, num_points,
+        ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF), _ptr(out, _i64p))
+    if found == 0:
+        return None
+    return out
+
+
+def backproject(depth: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+                fx: float, fy: float, cx: float, cy: float,
+                depth_scale: float, unit_scale: float = 1.0) -> np.ndarray:
+    lib = _load()
+    d = np.ascontiguousarray(depth, np.float32)
+    r = np.ascontiguousarray(rows, np.int64)
+    c = np.ascontiguousarray(cols, np.int64)
+    out = np.empty((d.size, 3), np.float32)
+    lib.df_backproject(_ptr(d, _f32p), _ptr(r, _i64p), _ptr(c, _i64p),
+                       d.size, fx, fy, cx, cy, depth_scale, unit_scale,
+                       _ptr(out, _f32p))
+    return out
+
+
+def normalize_resize(img: np.ndarray, out_h: int, out_w: int,
+                     mean: np.ndarray, std: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8/float -> normalized resized (out_h, out_w, 3) f32."""
+    lib = _load()
+    h, w = img.shape[:2]
+    out = np.empty((out_h, out_w, 3), np.float32)
+    mean32 = np.ascontiguousarray(mean, np.float32)
+    std32 = np.ascontiguousarray(std, np.float32)
+    if img.dtype == np.uint8:
+        src = np.ascontiguousarray(img)
+        lib.df_normalize_resize(_ptr(src, _u8p), h, w, _ptr(out, _f32p),
+                                out_h, out_w, _ptr(mean32, _f32p),
+                                _ptr(std32, _f32p))
+    else:
+        src = np.ascontiguousarray(img, np.float32)
+        lib.df_normalize_resize_f32(_ptr(src, _f32p), h, w, _ptr(out, _f32p),
+                                    out_h, out_w, _ptr(mean32, _f32p),
+                                    _ptr(std32, _f32p))
+    return out
+
+
+def remap_choose(choose: np.ndarray, crop_h: int, crop_w: int,
+                 out_h: int, out_w: int) -> np.ndarray:
+    lib = _load()
+    ch = np.ascontiguousarray(choose, np.int64)
+    out = np.empty_like(ch)
+    lib.df_remap_choose(_ptr(ch, _i64p), ch.size, crop_h, crop_w, out_h,
+                        out_w, _ptr(out, _i64p))
+    return out

@@ -1,0 +1,80 @@
+"""Native data-plane library tests: build/load, parity with the numpy
+reference implementations, and the assemble_sample fast path."""
+
+import numpy as np
+import pytest
+
+from densefusion_tpu import native
+from densefusion_tpu.data.schema import IMAGENET_MEAN, IMAGENET_STD, \
+    normalize_image
+from densefusion_tpu.data.augment import resize_bilinear_np
+from densefusion_tpu.geometry.bbox import remap_choose_to_resized
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable (no g++)")
+
+
+def test_choose_pixels_subsample(rng):
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:30, 5:30] = 1  # 625 pixels
+    out = native.choose_pixels(mask, 100, seed=7)
+    assert out.shape == (100,)
+    assert len(set(out.tolist())) == 100  # without replacement
+    flat = np.flatnonzero(mask.reshape(-1))
+    assert set(out.tolist()) <= set(flat.tolist())
+    assert (np.diff(out) > 0).all()  # sorted
+    # deterministic for a fixed seed
+    out2 = native.choose_pixels(mask, 100, seed=7)
+    np.testing.assert_array_equal(out, out2)
+    assert not np.array_equal(out, native.choose_pixels(mask, 100, seed=8))
+
+
+def test_choose_pixels_wrap_pad():
+    mask = np.zeros((10, 10), np.uint8)
+    mask[0, :5] = 1
+    out = native.choose_pixels(mask, 12, seed=1)
+    assert out.shape == (12,)
+    np.testing.assert_array_equal(out[:5], np.arange(5))
+    np.testing.assert_array_equal(out[5:10], np.arange(5))
+    assert native.choose_pixels(np.zeros((4, 4), np.uint8), 8, 0) is None
+
+
+def test_backproject_matches_numpy(rng):
+    n = 200
+    depth = rng.uniform(100, 5000, n).astype(np.float32)
+    rows = rng.integers(0, 480, n)
+    cols = rng.integers(0, 640, n)
+    fx, fy, cx, cy, ds = 572.4, 573.5, 325.3, 242.0, 1.0
+    out = native.backproject(depth, rows, cols, fx, fy, cx, cy, ds,
+                             unit_scale=1e-3)
+    z = depth / ds
+    want = np.stack([(cols - cx) * z / fx, (rows - cy) * z / fy, z],
+                    -1) * 1e-3
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_normalize_resize_matches_numpy_u8(rng):
+    img = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
+    got = native.normalize_resize(img, 24, 24, IMAGENET_MEAN, IMAGENET_STD)
+    want = resize_bilinear_np(normalize_image(img), 24, 24)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_normalize_resize_matches_numpy_f32(rng):
+    img = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    got = native.normalize_resize(img, 32, 48, IMAGENET_MEAN, IMAGENET_STD)
+    want = resize_bilinear_np(normalize_image(img), 32, 48)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_normalize_resize_identity_size(rng):
+    img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    got = native.normalize_resize(img, 16, 16, IMAGENET_MEAN, IMAGENET_STD)
+    np.testing.assert_allclose(got, normalize_image(img), atol=1e-4)
+
+
+def test_remap_choose_matches_numpy():
+    choose = np.array([0, 37, 99, 399], np.int64)
+    got = native.remap_choose(choose, 20, 20, 8, 8)
+    want = remap_choose_to_resized(choose, 20, 20, 8, 8)
+    np.testing.assert_array_equal(got, want)
