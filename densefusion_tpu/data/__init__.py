@@ -22,7 +22,10 @@ from densefusion_tpu.data.ycb import YCBDataset, YCB_SYM
 from densefusion_tpu.data.cad import CADDataset
 from densefusion_tpu.data.seg import SegSample, SegDataset, collate_seg
 from densefusion_tpu.data.loader import BatchLoader, PrefetchIterator
-from densefusion_tpu.data.synthetic import generate_linemod_style_dataset
+from densefusion_tpu.data.fat import FATScene, verify_scene as verify_fat_scene
+from densefusion_tpu.data.synthetic import (
+    generate_linemod_style_dataset, generate_fat_style_scene,
+)
 
 __all__ = [
     "PoseSample", "collate", "IMAGENET_MEAN", "IMAGENET_STD",
@@ -31,5 +34,6 @@ __all__ = [
     "YCBDataset", "YCB_SYM", "CADDataset",
     "SegSample", "SegDataset", "collate_seg",
     "BatchLoader", "PrefetchIterator",
-    "generate_linemod_style_dataset",
+    "FATScene", "verify_fat_scene",
+    "generate_linemod_style_dataset", "generate_fat_style_scene",
 ]
