@@ -1,0 +1,46 @@
+"""segment CLI smoke test: train-free SegNet checkpoint -> label PNGs in the
+segnet_results naming that LineMOD eval mode consumes."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import pytest
+from flax import serialization
+from PIL import Image
+
+from densefusion_tpu.models import SegNet
+from densefusion_tpu.cli import segment as segment_cli
+
+
+def test_segment_cli_writes_masks(tmp_path):
+    img_dir = tmp_path / "rgb"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+        ).save(img_dir / f"{i:04d}.png")
+
+    segnet = SegNet(num_classes=4)
+    sample = np.zeros((1, 64, 96, 3), np.float32)
+    variables = segnet.init(jax.random.key(0), sample, train=False)
+    ckpt = tmp_path / "segnet.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})})))
+
+    out_dir = tmp_path / "labels"
+    segment_cli.main([
+        "--checkpoint", str(ckpt),
+        "--images", str(img_dir / "*.png"),
+        "--out_dir", str(out_dir),
+        "--num_classes", "4", "--binary_class", "1", "--batch_size", "2",
+    ])
+    outs = sorted(glob.glob(str(out_dir / "*_label.png")))
+    assert len(outs) == 3
+    lab = np.array(Image.open(outs[0]))
+    assert lab.shape == (64, 96)
+    assert set(np.unique(lab)) <= {0, 255}
