@@ -164,6 +164,131 @@ def generate_linemod_style_dataset(
         yaml.safe_dump(models_info, f)
 
 
+def generate_cad_style_dataset(root: str, n_train: int = 6, n_test: int = 20,
+                               img_h: int = 260, img_w: int = 554,
+                               seed: int = 0, obj: int = 1) -> None:
+    """Write a miniature customCAD (Unity-render) dataset tree that
+    :class:`densefusion_tpu.data.cad.CADDataset` consumes — the role of the
+    reference's CAD generation pipeline (``datasets/customCAD/
+    cad_to_dataset.py`` + ``mask_generator.py`` + ``train_test_generator.py``)
+    with exact ground truth.
+
+    Encodes the Unity conventions the reader decodes: GL-style projection
+    matrix (``proj_mat.txt``), non-linear reversed z-buffer 16-bit depth in
+    0.1 mm world units, 65535-valued masks, left-handed quaternions and the
+    y-180 fixup in ``transforms.txt`` (see data/cad.py).
+    """
+    from PIL import Image
+    from densefusion_tpu.data.cad import _Y_180
+
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, "data", f"{obj:02d}")
+    for sub in ("rgb", "depth", "mask", "meta"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+
+    model_mm = make_asymmetric_model(3000, scale_mm=60.0, seed=seed)
+    write_ply(os.path.join(root, "models", f"obj_{obj:02d}.ply"), model_mm)
+    model_units = model_mm * 10.0  # reader multiplies ply by 10 (0.1mm units)
+
+    # GL-style projection in 0.1 mm units; linearize(d) = -P23/(P22 + d)
+    # maps d in [0, 1] onto [near, far].
+    near, far = 1000.0, 30000.0  # 0.1 m .. 3 m
+    c = far / (near - far)
+    d = -near * far / (near - far)
+    fx_px, fy_px = 500.0, 500.0
+    proj = np.zeros((4, 4))
+    proj[0, 0] = 2.0 * fx_px / img_w
+    proj[1, 1] = -2.0 * fy_px / img_h
+    proj[2, 2] = c
+    proj[2, 3] = d
+    proj[3, 2] = 1.0
+    with open(os.path.join(base, "meta", "proj_mat.txt"), "w") as f:
+        for row in proj:
+            f.write("\t".join(f"{v:.9f}" for v in row) + "\n")
+
+    class _Cam:
+        fx, fy, cx, cy = fx_px, fy_px, img_w / 2.0, img_h / 2.0
+
+    pmin, pmax = model_mm.min(0), model_mm.max(0)
+    colors = (40 + 210 * (model_mm - pmin) / (pmax - pmin)).astype(np.uint8)
+
+    n_frames = n_train + n_test
+    transforms_lines = []
+    for frame in range(n_frames):
+        q = rng.standard_normal(4)
+        q /= np.linalg.norm(q)
+        w_, x_, y_, z_ = q
+        R = np.array([
+            [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_),
+             2 * (w_ * y_ + x_ * z_)],
+            [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_),
+             2 * (y_ * z_ - w_ * x_)],
+            [2 * (x_ * z_ - w_ * y_), 2 * (w_ * x_ + y_ * z_),
+             1 - 2 * (x_ * x_ + y_ * y_)]])
+        t_m = np.array([rng.uniform(-0.04, 0.04), rng.uniform(-0.03, 0.03),
+                        rng.uniform(0.6, 1.0)])
+        t_units = t_m * 10000.0
+        posed = model_units @ R.T + t_units  # camera frame, 0.1 mm units
+
+        rgb, depth_units, mask = _splat_render(posed, colors, img_h, img_w,
+                                               _Cam, splat=2)
+        # encode reversed non-linear z: dval = -d/z - c, png = (1-dval)*65534
+        z = depth_units.astype(np.float64)
+        dval = np.where(mask, -d / np.maximum(z, 1.0) - c, 0.0)
+        png = np.where(mask, np.round((1.0 - dval) * 65534.0), 65535.0)
+        depth_png = np.clip(png, 0, 65535).astype(np.uint16)
+        mask_png = np.where(mask, 65535, 0).astype(np.uint16)
+
+        # transforms.txt: left-handed quat + pos with z negated; the reader
+        # computes R_gt = R_rh(convert(q)) @ y_180, t = pos*1000 (z flipped)
+        M = R @ _Y_180
+        # matrix -> quat (w, x, y, z)
+        tr = np.trace(M)
+        if tr > 0:
+            s = np.sqrt(tr + 1.0) * 2
+            qw = 0.25 * s
+            qx = (M[2, 1] - M[1, 2]) / s
+            qy = (M[0, 2] - M[2, 0]) / s
+            qz = (M[1, 0] - M[0, 1]) / s
+        else:
+            i = int(np.argmax(np.diag(M)))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            s = np.sqrt(1.0 + M[i, i] - M[j, j] - M[k, k]) * 2
+            qv = [0.0, 0.0, 0.0]
+            qv[i] = 0.25 * s
+            qv[j] = (M[j, i] + M[i, j]) / s
+            qv[k] = (M[k, i] + M[i, k]) / s
+            qw = (M[k, j] - M[j, k]) / s
+            qx, qy, qz = qv
+        # reader negates x and y (left->right hand); pre-negate to cancel
+        q_file = (-qx, -qy, qz, qw)
+        pos = (t_units[0] / 1000.0, t_units[1] / 1000.0,
+               -t_units[2] / 1000.0)
+
+        Image.fromarray(rgb).save(
+            os.path.join(base, "rgb", f"FrameBuffer_{frame:04d}.png"))
+        Image.fromarray(depth_png).save(
+            os.path.join(base, "depth", f"Depth_{frame:04d}.png"))
+        Image.fromarray(mask_png).save(
+            os.path.join(base, "mask", f"{frame:04d}.png"))
+        # transforms indices are 1-off from image indices (dataset.py:117)
+        transforms_lines += [
+            f"{frame + 1}",
+            f"({pos[0]:.6f}, {pos[1]:.6f}, {pos[2]:.6f})",
+            f"({q_file[0]:.6f}, {q_file[1]:.6f}, {q_file[2]:.6f}, "
+            f"{q_file[3]:.6f})",
+        ]
+
+    with open(os.path.join(base, "meta", "transforms.txt"), "w") as f:
+        f.write("\n".join(transforms_lines) + "\n")
+    with open(os.path.join(base, "train.txt"), "w") as f:
+        f.write("\n".join(str(i) for i in range(n_train)) + "\n")
+    with open(os.path.join(base, "test.txt"), "w") as f:
+        f.write("\n".join(str(i)
+                          for i in range(n_train, n_frames)) + "\n")
+
+
 def generate_fat_style_scene(scene_dir: str, n_frames: int = 2,
                              img_h: int = 270, img_w: int = 480,
                              seed: int = 0) -> np.ndarray:
