@@ -17,7 +17,7 @@ import numpy as np
 from densefusion_tpu import native
 from densefusion_tpu.geometry.bbox import snap_bbox, bbox_from_mask
 from densefusion_tpu.data.schema import (
-    PoseSample, normalize_image, IMAGENET_MEAN, IMAGENET_STD,
+    PoseSample, normalize_image, IMAGENET_MEAN_255, IMAGENET_STD_255,
 )
 from densefusion_tpu.data.augment import resize_bilinear_np
 
@@ -76,7 +76,7 @@ def assemble_sample(
     if native.available():
         # fused normalize+resize in the native data-plane (runtime/dfnative)
         img = native.normalize_resize(crop_rgb, crop_size, crop_size,
-                                      IMAGENET_MEAN, IMAGENET_STD)
+                                      IMAGENET_MEAN_255, IMAGENET_STD_255)
         if (crop_h, crop_w) != (crop_size, crop_size):
             choose = native.remap_choose(
                 (rows - rmin) * crop_w + (cols - cmin),

@@ -6,18 +6,30 @@ from typing import NamedTuple, Sequence
 
 import numpy as np
 
-# ImageNet statistics, applied to RAW 0-255 floats without /255 scaling — a
-# faithful-behavior detail of the reference (transforms.Normalize on a 0-255
-# tensor, ``datasets/ycb/dataset.py:88,229``; SURVEY.md §2.4). Networks train
-# from scratch on this scale, so it must stay consistent between train/eval.
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+# Effective constants for normalizing 0-255 pixel values in ONE fused step:
+# (v/255 - mean)/std == (v - mean*255)/(std*255).
+IMAGENET_MEAN_255 = IMAGENET_MEAN * 255.0
+IMAGENET_STD_255 = IMAGENET_STD * 255.0
 
-def normalize_image(img_hwc_uint8_or_float: np.ndarray) -> np.ndarray:
-    """(H, W, 3) raw 0-255 -> reference-normalized float32."""
+
+def normalize_image(img_hwc_uint8_or_float: np.ndarray,
+                    raw255: bool = False) -> np.ndarray:
+    """(H, W, 3) 0-255 pixels -> ImageNet-normalized float32.
+
+    Default scales to [0, 1] first (standard ImageNet normalization). The
+    reference instead applies ``transforms.Normalize`` to RAW 0-255 floats
+    (``datasets/ycb/dataset.py:88,229``; SURVEY.md §2.4) — a latent quirk that
+    pushes ~1000x-scale activations through its BN-free trunk; with this
+    framework's he-initialized convs that regime diverges, so the sane
+    scaling is the default and ``raw255=True`` is the compat switch.
+    """
     img = np.asarray(img_hwc_uint8_or_float, np.float32)
-    return (img - IMAGENET_MEAN) / IMAGENET_STD
+    if raw255:
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
+    return (img - IMAGENET_MEAN_255) / IMAGENET_STD_255
 
 
 class PoseSample(NamedTuple):

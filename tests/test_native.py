@@ -5,8 +5,8 @@ import numpy as np
 import pytest
 
 from densefusion_tpu import native
-from densefusion_tpu.data.schema import IMAGENET_MEAN, IMAGENET_STD, \
-    normalize_image
+from densefusion_tpu.data.schema import IMAGENET_MEAN_255, \
+    IMAGENET_STD_255, normalize_image
 from densefusion_tpu.data.augment import resize_bilinear_np
 from densefusion_tpu.geometry.bbox import remap_choose_to_resized
 
@@ -55,21 +55,24 @@ def test_backproject_matches_numpy(rng):
 
 def test_normalize_resize_matches_numpy_u8(rng):
     img = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
-    got = native.normalize_resize(img, 24, 24, IMAGENET_MEAN, IMAGENET_STD)
+    got = native.normalize_resize(img, 24, 24, IMAGENET_MEAN_255,
+                                  IMAGENET_STD_255)
     want = resize_bilinear_np(normalize_image(img), 24, 24)
-    np.testing.assert_allclose(got, want, atol=2e-3)
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_normalize_resize_matches_numpy_f32(rng):
     img = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
-    got = native.normalize_resize(img, 32, 48, IMAGENET_MEAN, IMAGENET_STD)
+    got = native.normalize_resize(img, 32, 48, IMAGENET_MEAN_255,
+                                  IMAGENET_STD_255)
     want = resize_bilinear_np(normalize_image(img), 32, 48)
-    np.testing.assert_allclose(got, want, atol=2e-3)
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_normalize_resize_identity_size(rng):
     img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
-    got = native.normalize_resize(img, 16, 16, IMAGENET_MEAN, IMAGENET_STD)
+    got = native.normalize_resize(img, 16, 16, IMAGENET_MEAN_255,
+                                  IMAGENET_STD_255)
     np.testing.assert_allclose(got, normalize_image(img), atol=1e-4)
 
 
