@@ -68,7 +68,8 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
               target: jax.Array, model_points: jax.Array, points: jax.Array,
               sym: jax.Array, w: jax.Array, *, use_adds: bool = True,
               knn_backend: str = "auto",
-              sample_weight: jax.Array | None = None) -> PoseLossOutput:
+              sample_weight: jax.Array | None = None,
+              pred_c_logit: jax.Array | None = None) -> PoseLossOutput:
     """Dense per-point-hypothesis ADD(-S) loss (``loss_calculation``,
     ``lib/loss.py:13-70``).
 
@@ -86,6 +87,11 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
         sym_list skip the KNN entirely).
       sample_weight: optional (B,) weights (e.g. the batch ``valid`` mask —
         lost detections contribute zero loss but keep static shapes).
+      pred_c_logit: optional (B, N) raw confidence logits. When given, the
+        ``-w·log c`` barrier is computed as ``-w·log_sigmoid(logit)`` whose
+        gradient (1 - c) never saturates — computing it through the sigmoid
+        probability underflows for collapsed confidences and silently kills
+        the pose gradient.
     """
     q = quat_normalize(pred_r)
     R = quat_to_matrix(q)                                     # (B, N, 3, 3)
@@ -94,7 +100,11 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
     pred = jnp.einsum("bmj,bnij->bnmi", model_points, R) + t[:, :, None, :]
 
     dis = _hypothesis_distances(pred, target, sym, use_adds, knn_backend)
-    per_point = dis * pred_c - w * jnp.log(jnp.maximum(pred_c, 1e-12))
+    if pred_c_logit is not None:
+        log_c = jax.nn.log_sigmoid(pred_c_logit)
+    else:
+        log_c = jnp.log(jnp.maximum(pred_c, 1e-38))
+    per_point = dis * pred_c - w * log_c
     if sample_weight is None:
         loss = jnp.mean(per_point)
     else:

@@ -64,6 +64,7 @@ class _HeadStack(nn.Module):
     num_obj: int
     out_dim: int
     dtype: type | None = None
+    identity_quat_bias: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -71,7 +72,20 @@ class _HeadStack(nn.Module):
         x = nn.relu(nn.Dense(640, name="fc1", **d)(x))
         x = nn.relu(nn.Dense(256, name="fc2", **d)(x))
         x = nn.relu(nn.Dense(128, name="fc3", **d)(x))
-        x = nn.Dense(self.num_obj * self.out_dim, name="fc4", **d)(x)
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            if self.identity_quat_bias:  # start all hypotheses at identity
+                b = b.reshape(self.num_obj, 4).at[:, 0].set(1.0).reshape(shape)
+            return b
+
+        # small-scale output init: hypotheses start near (identity quat,
+        # zero offset) so the initial ADD distance is at object scale,
+        # keeping the confidence optimum interior (c* = w/dis)
+        x = nn.Dense(self.num_obj * self.out_dim, name="fc4",
+                     kernel_init=nn.initializers.variance_scaling(
+                         0.01, "fan_in", "truncated_normal"),
+                     bias_init=bias_init, **d)(x)
         return x.reshape(x.shape[:-1] + (self.num_obj, self.out_dim))
 
 
@@ -119,17 +133,21 @@ class PoseNet(nn.Module):
         feat = DenseFusionFeat(dtype=self.dtype,
                                name="fusion")(points, emb)    # (B, N, 1408)
 
-        rx = _HeadStack(self.num_obj, 4, dtype=self.dtype, name="head_r")(feat)
+        rx = _HeadStack(self.num_obj, 4, dtype=self.dtype,
+                        identity_quat_bias=True, name="head_r")(feat)
         tx = _HeadStack(self.num_obj, 3, dtype=self.dtype, name="head_t")(feat)
         cx = _HeadStack(self.num_obj, 1, dtype=self.dtype, name="head_c")(feat)
 
         pred_r = select_object(rx, obj).astype(jnp.float32)
         pred_t = select_object(tx, obj).astype(jnp.float32)
-        pred_c = jax.nn.sigmoid(
-            select_object(cx, obj).astype(jnp.float32))[..., 0]
+        pred_c_logit = select_object(cx, obj).astype(jnp.float32)[..., 0]
         return {
             "pred_r": pred_r,
             "pred_t": pred_t,
-            "pred_c": pred_c,
+            "pred_c": jax.nn.sigmoid(pred_c_logit),
+            # raw logit: lets the loss use log_sigmoid for a confidence
+            # barrier whose gradient never saturates (lib/loss.py:50 computes
+            # log(sigmoid(z)) through the probability, which underflows)
+            "pred_c_logit": pred_c_logit,
             "emb": jax.lax.stop_gradient(emb),
         }

@@ -97,7 +97,13 @@ class PSPNet(nn.Module):
         p = Dropout2d(self.drop2, name="drop2b")(p, deterministic=not train)
         p = PSPUpsample(64, dtype=self.dtype, name="up3")(p)
 
-        p = nn.Conv(self.emb_dim, (1, 1), kernel_init=he_normal_fan_out,
+        # zero-init final projection: the embedding starts at the uniform
+        # log-softmax (-log emb_dim) instead of inheriting the trunk's
+        # activation spread — with the BN-free trunk + he init, a non-tiny
+        # init here produces O(100)-magnitude log-probs that destabilize the
+        # fusion net (torch's default small conv init gave the reference the
+        # same near-uniform start implicitly).
+        p = nn.Conv(self.emb_dim, (1, 1), kernel_init=nn.initializers.zeros,
                     dtype=self.dtype, name="final")(p)
         # log-softmax in f32 for numerical stability under bf16 compute
         p = p.astype(jnp.float32)

@@ -61,13 +61,24 @@ class PoseRefineNet(nn.Module):
         feat = RefineFeat(dtype=self.dtype,
                           name="fusion")(points, emb)          # (B, 1024)
 
-        def head(out_dim, name):
+        def head(out_dim, name, bias_init=nn.initializers.zeros):
             d = dict(dtype=self.dtype)
             x = nn.relu(nn.Dense(512, name=f"{name}_fc1", **d)(feat))
             x = nn.relu(nn.Dense(128, name=f"{name}_fc2", **d)(x))
-            x = nn.Dense(self.num_obj * out_dim, name=f"{name}_fc3", **d)(x)
+            # small-scale output init: residual poses start near identity
+            x = nn.Dense(self.num_obj * out_dim, name=f"{name}_fc3",
+                         kernel_init=nn.initializers.variance_scaling(
+                             0.01, "fan_in", "truncated_normal"),
+                         bias_init=bias_init, **d)(x)
             x = x.astype(jnp.float32)
             x = x.reshape(x.shape[0], 1, self.num_obj, out_dim)
             return select_object(x, obj)[:, 0, :]              # (B, out_dim)
 
-        return {"pred_r": head(4, "head_r"), "pred_t": head(3, "head_t")}
+        def identity_quat_bias(key, shape, dtype=jnp.float32):
+            # residual rotations start AT the identity quaternion, not at a
+            # random direction from normalizing near-zero noise
+            b = jnp.zeros(shape, dtype).reshape(self.num_obj, 4)
+            return b.at[:, 0].set(1.0).reshape(shape)
+
+        return {"pred_r": head(4, "head_r", identity_quat_bias),
+                "pred_t": head(3, "head_t")}

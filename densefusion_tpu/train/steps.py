@@ -49,7 +49,8 @@ def make_pose_train_step(posenet, tx: optax.GradientTransformation,
             lo = pose_loss(out["pred_r"], out["pred_t"], out["pred_c"],
                            target, model_points, points, sym, w,
                            use_adds=use_adds, knn_backend=knn_backend,
-                           sample_weight=valid)
+                           sample_weight=valid,
+                           pred_c_logit=out.get("pred_c_logit"))
             return lo.loss, lo
 
         (loss, lo), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -84,7 +85,8 @@ def make_refine_train_step(posenet, refiner, tx: optax.GradientTransformation,
         lo = pose_loss(out["pred_r"], out["pred_t"], out["pred_c"],
                        target, model_points, points, sym, w,
                        use_adds=False,  # refine-phase main loss skips ADD-S
-                       knn_backend=knn_backend, sample_weight=valid)
+                       knn_backend=knn_backend, sample_weight=valid,
+                       pred_c_logit=out.get("pred_c_logit"))
         emb = out["emb"]
 
         def loss_fn(params_refine):
@@ -133,7 +135,8 @@ def make_eval_step(posenet, refiner, refine_iters: int, use_adds: bool,
         lo = pose_loss(out["pred_r"], out["pred_t"], out["pred_c"],
                        target, model_points, points, sym, w,
                        use_adds=use_adds and refine_iters == 0,
-                       knn_backend=knn_backend, sample_weight=valid)
+                       knn_backend=knn_backend, sample_weight=valid,
+                       pred_c_logit=out.get("pred_c_logit"))
         dis = lo.dis
         pts, tgt = lo.new_points, lo.new_target
         for _ in range(refine_iters):
