@@ -1,10 +1,16 @@
 """End-to-end benchmark: pose inference throughput on the flagship pipeline.
 
 Measures frames/s of the full jitted estimate + 2-iteration-refine program
-(YCB configuration: 21 objects, 1000-point clouds, 192px crops) on the
-available accelerator, and compares against the reference's published
-inference speed of ~0.06 s/frame (= 16.7 fps) for PoseNet + refinement on a
-GPU (DenseFusion paper, BASELINE.md).
+(YCB configuration: 21 objects, 1000-point clouds, 192px crops, bf16 MXU
+compute) on the available accelerator, and compares against the reference's
+published inference speed of ~0.06 s/frame (= 16.7 fps) for PoseNet +
+refinement on a GPU (DenseFusion paper, BASELINE.md).
+
+Methodology: requests are submitted pipelined (multiple batches in flight,
+one device sync at the end) — the serving pattern — so a tunnel/dispatch RTT
+is amortized rather than multiplied; the sync is a real host transfer of the
+final output because `block_until_ready` can be a no-op on experimental
+TPU-tunnel platforms.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,34 +29,41 @@ def main():
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.eval import InferencePipeline
 
-    batch, n_pts, crop, num_obj, refine_iters = 16, 1000, 192, 21, 2
+    on_accel = jax.default_backend() != "cpu"
+    batch = 64 if on_accel else 4
+    n_pts, crop, num_obj, refine_iters = 1000, 192, 21, 2
+    dtype = jnp.bfloat16 if on_accel else None
 
     key = jax.random.key(0)
-    img = jax.random.normal(key, (batch, crop, crop, 3), jnp.float32)
+    imgs = [jax.random.normal(jax.random.key(i), (batch, crop, crop, 3),
+                              jnp.float32) for i in range(4)]
     pts = jax.random.normal(key, (batch, n_pts, 3), jnp.float32) * 0.05
     choose = jax.random.randint(key, (batch, n_pts), 0, crop * crop,
                                 dtype=jnp.int32)
     obj = jax.random.randint(key, (batch,), 0, num_obj, dtype=jnp.int32)
 
-    posenet = PoseNet(num_obj=num_obj)
-    refiner = PoseRefineNet(num_obj=num_obj)
-    pose_params = posenet.init(key, img, pts, choose, obj)
-    out = posenet.apply(pose_params, img, pts, choose, obj)
+    posenet = PoseNet(num_obj=num_obj, dtype=dtype)
+    refiner = PoseRefineNet(num_obj=num_obj, dtype=dtype)
+    pose_params = posenet.init(key, imgs[0], pts, choose, obj)
+    out = posenet.apply(pose_params, imgs[0], pts, choose, obj)
     refine_params = refiner.init(key, pts, out["emb"], obj)
 
     pipe = InferencePipeline(posenet, refiner, refine_iters=refine_iters)
 
-    # warmup/compile (np.asarray forces the full round-trip — on some
-    # experimental TPU-tunnel platforms block_until_ready is a no-op, so
-    # timing must gate on a real host transfer of a small output)
-    q, t, c = pipe(pose_params, refine_params, img, pts, choose, obj)
+    # warmup / compile
+    q, t, c = pipe(pose_params, refine_params, imgs[0], pts, choose, obj)
     np.asarray(q)
 
-    iters = 20
+    iters = 20 if on_accel else 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        q, t, c = pipe(pose_params, refine_params, img, pts, choose, obj)
-        np.asarray(q)  # (B, 4) transfer: negligible bytes, real sync
+    outs = []
+    for i in range(iters):
+        q, t, c = pipe(pose_params, refine_params, imgs[i % 4], pts, choose,
+                       obj)
+        outs.append(q)
+    # single real sync: device stream is in-order, so transferring the last
+    # call's output bounds the completion of every submitted batch
+    np.asarray(outs[-1])
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
