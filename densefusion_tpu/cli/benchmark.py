@@ -106,10 +106,67 @@ def bench_train_step(batch: int = 8, repeats: int = 10):
             "train_frames_per_s": batch / dt}
 
 
+def bench_scaling(per_device_batch: int = 8, repeats: int = 5):
+    """Data-parallel scaling: frames/s of the pose train step at 1..N devices
+    (weak scaling, fixed per-device batch). Efficiency(N) =
+    fps(N) / (N * fps(1)) — the >=80% multi-device target of BASELINE.md."""
+    import numpy as np
+    import jax
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.data import PoseSample
+    from densefusion_tpu.parallel import make_mesh, make_shard_batch_fn
+    from densefusion_tpu.train import create_train_state, make_pose_train_step
+    from densefusion_tpu.train.state import make_optimizer
+    from densefusion_tpu.utils.config import RunConfig
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_avail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    n, m, crop, num_obj = 500, 500, 192, 21
+    cfg = RunConfig.preset("ycb")
+    posenet, refiner = PoseNet(num_obj=num_obj), PoseRefineNet(num_obj=num_obj)
+    tx = make_optimizer(cfg.lr)
+    w = np.float32(0.015)
+    out = {}
+    base_fps = None
+    for n_dev in sizes:
+        b = per_device_batch * n_dev
+        rng = np.random.default_rng(0)
+        batch = PoseSample(
+            points=rng.standard_normal((b, n, 3)).astype(np.float32) * 0.05,
+            choose=rng.integers(0, crop * crop, (b, n)).astype(np.int32),
+            img=rng.standard_normal((b, crop, crop, 3)).astype(np.float32),
+            target=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+            model_points=rng.standard_normal((b, m, 3)).astype(np.float32)
+            * 0.05,
+            obj_idx=rng.integers(0, num_obj, (b,)).astype(np.int32),
+            sym=np.zeros((b,), bool), valid=np.ones((b,), bool),
+        )
+        mesh = make_mesh(n_dev)
+        state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                                   batch)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        sharded = make_shard_batch_fn(mesh)(batch)
+        step = make_pose_train_step(posenet, tx, use_adds=True)
+        state, metrics = step(state, sharded, w)
+        _sync(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            state, metrics = step(state, sharded, w)
+            _sync(metrics["loss"])
+        dt = (time.perf_counter() - t0) / repeats
+        fps = b / dt
+        if base_fps is None:
+            base_fps = fps
+        out[f"scaling_{n_dev}dev_fps"] = fps
+        out[f"scaling_{n_dev}dev_efficiency"] = fps / (n_dev * base_fps)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="all",
-                   choices=["all", "knn", "inference", "train"])
+                   choices=["all", "knn", "inference", "train", "scaling"])
     p.add_argument("--batch", type=int, default=16)
     args = p.parse_args(argv)
     results = {}
@@ -119,6 +176,8 @@ def main(argv=None):
         results.update(bench_inference(batch=args.batch))
     if args.what in ("all", "train"):
         results.update(bench_train_step())
+    if args.what == "scaling":
+        results.update(bench_scaling())
     print(json.dumps(results, indent=2))
     return results
 

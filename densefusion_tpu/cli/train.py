@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all available devices")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MXU compute (f32 params/outputs)")
     return p
 
 
@@ -53,6 +55,7 @@ def main(argv=None):
         decay_margin=args.decay_margin, refine_margin=args.refine_margin,
         noise_trans=args.noise_trans, refine_iters=args.iteration,
         nepoch=args.nepoch, crop_size=args.crop_size, seed=args.seed,
+        bf16_compute=args.bf16,
         out_dir=f"{args.out_dir}/{args.dataset}",
         log_dir=f"{args.log_dir}/{args.dataset}",
     )

@@ -57,8 +57,12 @@ class Trainer:
                  dataset_factory: Callable = build_dataset,
                  shard_batch: Optional[Callable] = None):
         self.cfg = cfg
-        self.posenet = posenet or PoseNet(num_obj=cfg.num_objects)
-        self.refiner = refiner or PoseRefineNet(num_obj=cfg.num_objects)
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16 if cfg.bf16_compute else None
+        self.posenet = posenet or PoseNet(num_obj=cfg.num_objects,
+                                          dtype=dtype)
+        self.refiner = refiner or PoseRefineNet(num_obj=cfg.num_objects,
+                                                dtype=dtype)
         self.dataset_factory = dataset_factory
         self.shard_batch = shard_batch or (lambda b: b)
         self.curriculum = Curriculum(lr=cfg.lr, w=cfg.w)
