@@ -104,6 +104,11 @@ class Trainer:
         cfg = self.cfg
         cur = self.curriculum
         tx = make_optimizer(cur.lr)
+        if cfg.grad_accum > 1:
+            # optional accumulation on top of true batching — the reference's
+            # batch-1 x32-accumulation regime is grad_accum=32, batch_size=1
+            import optax
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
         self._tx = tx
         if cur.refine_started:
             self.train_step = make_refine_train_step(
