@@ -38,12 +38,10 @@ def main(argv=None):
     import numpy as np
     import jax
 
-    from densefusion_tpu.data import LineModDataset, BatchLoader, collate
+    from densefusion_tpu.data import LineModDataset, BatchLoader
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.eval import InferencePipeline, pose_distances
-    from densefusion_tpu.eval.metrics import success_rate
     from densefusion_tpu.train import create_train_state, load_checkpoint
-    from densefusion_tpu.train.state import Curriculum
     from densefusion_tpu.utils.config import RunConfig
     from densefusion_tpu.utils.logging import setup_logger
 

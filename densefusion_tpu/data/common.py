@@ -15,7 +15,7 @@ from typing import Callable
 import numpy as np
 
 from densefusion_tpu import native
-from densefusion_tpu.geometry.bbox import snap_bbox, bbox_from_mask
+from densefusion_tpu.geometry.bbox import snap_bbox
 from densefusion_tpu.data.schema import (
     PoseSample, normalize_image, IMAGENET_MEAN_255, IMAGENET_STD_255,
 )

@@ -15,7 +15,7 @@ from typing import Sequence
 import numpy as np
 
 from densefusion_tpu.geometry.bbox import bbox_from_mask
-from densefusion_tpu.geometry.camera import LINEMOD_CAM, CameraIntrinsics
+from densefusion_tpu.geometry.camera import LINEMOD_CAM
 from densefusion_tpu.data.schema import PoseSample
 from densefusion_tpu.data.ply import read_ply_vertices
 from densefusion_tpu.data.common import (

@@ -12,7 +12,6 @@ classes {12, 15, 18, 19, 20}.
 from __future__ import annotations
 
 import os
-from typing import Sequence
 
 import numpy as np
 

@@ -10,9 +10,6 @@ quaternion composition) is ONE compiled XLA graph: refinement is a
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

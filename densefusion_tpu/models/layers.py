@@ -9,8 +9,6 @@ scatter instead of integer scatter for unpooling.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -21,7 +21,7 @@ import flax.linen as nn
 from densefusion_tpu.models.layers import (
     PReLU, adaptive_avg_pool2d, resize_bilinear, he_normal_fan_out, Dropout2d,
 )
-from densefusion_tpu.models.resnet import DilatedResNet, RESNET_SPECS
+from densefusion_tpu.models.resnet import DilatedResNet
 
 
 class PSPModule(nn.Module):

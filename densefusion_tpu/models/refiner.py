@@ -10,7 +10,6 @@ composed onto the running pose — the composition itself lives in
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -10,10 +10,6 @@ channel counts.
 
 from __future__ import annotations
 
-from typing import Sequence
-
-import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from densefusion_tpu.models.layers import he_normal_fan_out

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from densefusion_tpu.models.layers import (

@@ -17,10 +17,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from densefusion_tpu.ops.knn import nearest_neighbor_xla, nearest_neighbor
+from densefusion_tpu.ops.knn import nearest_neighbor
 
 
 def sharded_nearest_neighbor(query: jax.Array, ref: jax.Array, mesh: Mesh,

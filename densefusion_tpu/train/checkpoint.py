@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any
 
 import jax
 from flax import serialization

@@ -133,7 +133,11 @@ class Trainer:
     def train_epoch(self) -> float:
         cfg, cur = self.cfg, self.curriculum
         t0 = time.time()
-        dis_sum, count = 0.0, 0
+        # accumulate the metric ON DEVICE: a float() per step would force a
+        # host sync each iteration (on a remote-TPU link that serializes
+        # every step on the RTT); we only materialize at log/epoch points
+        dis_sum = None
+        count = 0
         for rep in range(cfg.repeat_epoch):
             start = cur.batch_in_epoch if rep == 0 else 0
             it = PrefetchIterator(
@@ -144,18 +148,17 @@ class Trainer:
                     self.state, self.shard_batch(batch),
                     np.float32(cur.w))
                 cur.batch_in_epoch += 1
-                dis_sum += float(m["dis"])
+                dis_sum = m["dis"] if dis_sum is None else dis_sum + m["dis"]
                 count += 1
                 if count % 50 == 0:
                     self.logger.info(
                         f"epoch {cur.epoch} batch {count} "
-                        f"avg_dis {dis_sum / count:.5f} "
+                        f"avg_dis {float(dis_sum) / count:.5f} "
                         f"({time.time() - t0:.1f}s)")
-                step = int(self.state.step)
-                if step and step % cfg.checkpoint_every_steps == 0:
+                if count % cfg.checkpoint_every_steps == 0:
                     self._save("current")
             cur.batch_in_epoch = 0
-        avg = dis_sum / max(count, 1)
+        avg = float(dis_sum) / count if count else 0.0
         self.metrics.write(kind="train_epoch", epoch=cur.epoch, avg_dis=avg,
                            seconds=time.time() - t0, phase=self._phase())
         return avg

@@ -17,14 +17,13 @@ All steps donate the TrainState buffers and are shardable over a device mesh
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from densefusion_tpu.losses import pose_loss, refiner_loss
-from densefusion_tpu.train.state import TrainState, make_optimizer
+from densefusion_tpu.train.state import TrainState
 
 
 def _unpack(batch):
