@@ -150,3 +150,15 @@ def test_segnet_shapes_and_train_state():
         variables, jnp.ones((1, 64, 96, 3)), train=True,
         mutable=["batch_stats"])
     assert "batch_stats" in mutated
+
+
+@pytest.mark.parametrize("variant,out_ch", [("resnet34", 512),
+                                            ("resnet50", 2048)])
+def test_resnet_variants_compile(variant, out_ch):
+    """The psp_models table supports resnet18..152 (lib/network.py:19-25);
+    check a BasicBlock and a Bottleneck variant beyond the default."""
+    model = DilatedResNet(variant=variant)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    f4, f3 = model.apply(params, x)
+    assert f4.shape == (1, 4, 4, out_ch)
