@@ -24,6 +24,7 @@ def _grayscale(img: np.ndarray) -> np.ndarray:
 
 
 def _rgb_to_hsv(img: np.ndarray):
+    img = np.asarray(img, np.float32)
     maxc = img.max(-1)
     minc = img.min(-1)
     v = maxc
@@ -73,8 +74,9 @@ def color_jitter(img: np.ndarray, rng: np.random.Generator,
         shift = rng.uniform(-hue, hue)
 
         def hue_op(x):
-            h, s, v = _rgb_to_hsv(x / 255.0)
-            return _hsv_to_rgb((h + shift) % 1.0, s, v) * 255.0
+            h, s, v = _rgb_to_hsv(x * np.float32(1 / 255.0))
+            return _hsv_to_rgb((h + np.float32(shift)) % 1.0, s, v) \
+                * np.float32(255.0)
 
         ops.append(hue_op)
     order = rng.permutation(len(ops))

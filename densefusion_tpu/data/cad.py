@@ -174,8 +174,6 @@ class CADDataset:
         max_d = depth.max()
         mask = (label == 65535) & (depth != max_d)
 
-        if self.add_noise:
-            rgb = color_jitter(rgb, self.rng)
         rgb = np.asarray(rgb).copy()
         rgb[depth == max_d] = _HORIZON_GRAY  # paint out the horizon
 
@@ -192,6 +190,8 @@ class CADDataset:
 
         add_t = (translation_noise(self.rng, self.noise_trans)
                  if self.add_noise else None)
+        rgb_transform = ((lambda crop: color_jitter(crop, self.rng))
+                         if self.add_noise else None)
 
         model = subsample_model_points(self.models[obj], self.num_mesh, self.rng)
         target = (model @ R_gt.T + t_gt) / 10000.0
@@ -205,6 +205,5 @@ class CADDataset:
             model_points=model / 10000.0, target=target,
             obj_idx=self.objlist.index(obj), sym=False,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=self.rng,
-            add_t=add_t,
+            rng=self.rng, add_t=add_t, rgb_transform=rgb_transform,
         )

@@ -52,9 +52,16 @@ def assemble_sample(
     crop_size: int,
     rng: np.random.Generator,
     add_t: np.ndarray | None = None,  # (3,) translation noise, meters
+    rgb_transform=None,               # applied to the CROP (e.g. ColorJitter)
 ) -> PoseSample:
     """Build one PoseSample. ``point_fn(rows, cols) -> (n, 3)`` back-projects
-    absolute pixel coordinates to metric 3D (pinhole or ray-map)."""
+    absolute pixel coordinates to metric 3D (pinhole or ray-map).
+
+    ``rgb_transform`` runs on the snapped crop only — the reference jitters
+    whole frames before cropping (``datasets/ycb/dataset.py:149-150``), which
+    wastes ~8x the pixels; per-crop jitter is the loader's hottest op on
+    few-core hosts.
+    """
     h, w = mask.shape
     rmin, rmax, cmin, cmax = snap_bbox(*bbox, img_h=h, img_w=w)
     crop_h, crop_w = rmax - rmin, cmax - cmin
@@ -73,6 +80,8 @@ def assemble_sample(
         tgt = tgt + add_t
 
     crop_rgb = rgb[rmin:rmax, cmin:cmax]
+    if rgb_transform is not None:
+        crop_rgb = rgb_transform(crop_rgb)
     if native.available():
         # fused normalize+resize in the native data-plane (runtime/dfnative)
         img = native.normalize_resize(crop_rgb, crop_size, crop_size,

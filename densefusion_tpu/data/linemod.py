@@ -127,10 +127,10 @@ class LineModDataset:
             x, y, w, h = meta["obj_bb"]
             bbox = (y, y + h, x, x + w)
 
-        if self.add_noise:
-            rgb = color_jitter(rgb, self.rng)
         add_t = (translation_noise(self.rng, self.noise_trans)
                  if self.add_noise else None)
+        rgb_transform = ((lambda crop: color_jitter(crop, self.rng))
+                         if self.add_noise else None)
 
         model = subsample_model_points(self.models[obj], self.num_mesh, self.rng)
         target = model @ R_gt.T + t_gt
@@ -149,7 +149,7 @@ class LineModDataset:
             obj_idx=self.objlist.index(obj),
             sym=self.objlist.index(obj) in LINEMOD_SYM,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=self.rng, add_t=add_t,
+            rng=self.rng, add_t=add_t, rgb_transform=rgb_transform,
         )
 
     def diameters(self, models_info_path: str | None = None) -> np.ndarray:

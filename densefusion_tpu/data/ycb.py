@@ -99,11 +99,13 @@ class YCBDataset:
     def _composite_front(self, label: np.ndarray):
         """Paste two object masks from another synthetic frame as occluders
         (dataset.py:116-137): their pixels are removed from the current label
-        so the occluded object's visible mask shrinks."""
+        so the occluded object's visible mask shrinks. Jitter is applied once
+        on the final crop (assemble_sample) rather than per source frame —
+        full-frame HSV jitter x3 was the loader's dominant cost."""
         for _ in range(5):
             seed_frame = self.syn[self.rng.integers(len(self.syn))]
             c_path, _, l_path, _ = self._frame_paths(seed_frame)
-            front = color_jitter(_load_image(c_path)[..., :3], self.rng)
+            front = _load_image(c_path)[..., :3]
             f_label = _load_image(l_path)
             ids = [i for i in np.unique(f_label) if i != 0]
             if len(ids) < 2:
@@ -149,14 +151,9 @@ class YCBDataset:
         mask_label = label == obj_id
         mask = mask_label & mask_depth
 
-        if self.add_noise:
-            rgb = color_jitter(rgb, self.rng)
-
         if is_syn:  # real background behind the render (dataset.py:155-159)
             back_frame = self.real[self.rng.integers(len(self.real))]
-            back = color_jitter(
-                _load_image(self._frame_paths(back_frame)[0])[..., :3],
-                self.rng)
+            back = _load_image(self._frame_paths(back_frame)[0])[..., :3]
             rgb = np.where(mask_back[..., None], back, rgb)
 
         if self.add_noise and mask_front is not None:
@@ -179,6 +176,8 @@ class YCBDataset:
 
         add_t = (translation_noise(self.rng, self.noise_trans)
                  if self.add_noise else None)
+        rgb_transform = ((lambda crop: color_jitter(crop, self.rng))
+                         if self.add_noise else None)
 
         model = subsample_model_points(self.models[obj_id], self.num_mesh,
                                        self.rng)
@@ -196,7 +195,7 @@ class YCBDataset:
             obj_idx=obj_id - 1,  # 0-based class (dataset.py:232)
             sym=(obj_id - 1) in YCB_SYM,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=self.rng, add_t=add_t,
+            rng=self.rng, add_t=add_t, rgb_transform=rgb_transform,
         )
 
 
