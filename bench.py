@@ -44,9 +44,9 @@ def main():
 
     posenet = PoseNet(num_obj=num_obj, dtype=dtype)
     refiner = PoseRefineNet(num_obj=num_obj, dtype=dtype)
-    pose_params = posenet.init(key, imgs[0], pts, choose, obj)
-    out = posenet.apply(pose_params, imgs[0], pts, choose, obj)
-    refine_params = refiner.init(key, pts, out["emb"], obj)
+    pose_params = jax.jit(posenet.init)(key, imgs[0], pts, choose, obj)
+    out = jax.jit(posenet.apply)(pose_params, imgs[0], pts, choose, obj)
+    refine_params = jax.jit(refiner.init)(key, pts, out["emb"], obj)
 
     pipe = InferencePipeline(posenet, refiner, refine_iters=refine_iters)
 

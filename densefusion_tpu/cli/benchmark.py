@@ -55,9 +55,9 @@ def bench_inference(batch: int = 16, repeats: int = 20):
     obj = jax.random.randint(key, (batch,), 0, num_obj, dtype=jnp.int32)
     posenet = PoseNet(num_obj=num_obj)
     refiner = PoseRefineNet(num_obj=num_obj)
-    pose_params = posenet.init(key, img, pts, choose, obj)
-    out = posenet.apply(pose_params, img, pts, choose, obj)
-    refine_params = refiner.init(key, pts, out["emb"], obj)
+    pose_params = jax.jit(posenet.init)(key, img, pts, choose, obj)
+    out = jax.jit(posenet.apply)(pose_params, img, pts, choose, obj)
+    refine_params = jax.jit(refiner.init)(key, pts, out["emb"], obj)
     pipe = InferencePipeline(posenet, refiner, refine_iters=2)
     _sync(pipe(pose_params, refine_params, img, pts, choose, obj))
     t0 = time.perf_counter()

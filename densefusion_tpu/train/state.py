@@ -56,13 +56,17 @@ def make_optimizer(lr: float) -> optax.GradientTransformation:
 
 def create_train_state(posenet, refiner, cfg, rng: jax.Array,
                        sample_batch) -> TrainState:
-    """Initialize parameters from a sample batch and the phase-1 optimizer."""
+    """Initialize parameters from a sample batch and the phase-1 optimizer.
+
+    Inits run under jit: un-jitted flax init dispatches every op eagerly,
+    which on a remote-TPU link costs one RTT per op (minutes for the CNN).
+    """
     rng, k1, k2 = jax.random.split(rng, 3)
     img, points, choose, obj = (sample_batch.img, sample_batch.points,
                                 sample_batch.choose, sample_batch.obj_idx)
-    params_pose = posenet.init(k1, img, points, choose, obj)
-    out = posenet.apply(params_pose, img, points, choose, obj)
-    params_refine = refiner.init(k2, points, out["emb"], obj)
+    params_pose = jax.jit(posenet.init)(k1, img, points, choose, obj)
+    out = jax.jit(posenet.apply)(params_pose, img, points, choose, obj)
+    params_refine = jax.jit(refiner.init)(k2, points, out["emb"], obj)
     tx = make_optimizer(cfg.lr)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

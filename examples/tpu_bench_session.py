@@ -71,9 +71,9 @@ def main():
         obj = jax.random.randint(key, (batch,), 0, num_obj, dtype=jnp.int32)
         posenet = PoseNet(num_obj=num_obj, dtype=jnp.bfloat16)
         refiner = PoseRefineNet(num_obj=num_obj, dtype=jnp.bfloat16)
-        pp = posenet.init(key, imgs[0], pts, choose, obj)
-        out = posenet.apply(pp, imgs[0], pts, choose, obj)
-        rp = refiner.init(key, pts, out["emb"], obj)
+        pp = jax.jit(posenet.init)(key, imgs[0], pts, choose, obj)
+        out = jax.jit(posenet.apply)(pp, imgs[0], pts, choose, obj)
+        rp = jax.jit(refiner.init)(key, pts, out["emb"], obj)
         pipe = InferencePipeline(posenet, refiner, refine_iters=2)
         t0 = time.time()
         q, t, c = pipe(pp, rp, imgs[0], pts, choose, obj)
