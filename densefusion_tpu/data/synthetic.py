@@ -164,6 +164,129 @@ def generate_linemod_style_dataset(
         yaml.safe_dump(models_info, f)
 
 
+def generate_ycb_style_dataset(root: str, n_classes: int = 3,
+                               n_real: int = 4, n_syn: int = 2,
+                               n_test: int = 3, img_h: int = 480,
+                               img_w: int = 640, seed: int = 0,
+                               posecnn_dir: str | None = None) -> None:
+    """Write a miniature YCB-Video-format tree (multi-object frames with
+    -color/-depth/-label PNGs and -meta.mat, models/points.xyz,
+    dataset_config lists) that :class:`YCBDataset`, :class:`SegDataset`, and
+    — when ``posecnn_dir`` is given (fake PoseCNN labels+rois .mat per test
+    keyframe) — :class:`YCBPoseCNNEvalDataset` consume."""
+    import scipy.io as scio
+    from PIL import Image
+    from densefusion_tpu.geometry.camera import YCB_CAM_1 as cam
+
+    rng = np.random.default_rng(seed)
+    cfg_dir = os.path.join(root, "dataset_config")
+    os.makedirs(cfg_dir, exist_ok=True)
+
+    classes = [f"{i:03d}_synth_obj" for i in range(1, n_classes + 1)]
+    models_mm = {}
+    for cid, cls in enumerate(classes, start=1):
+        os.makedirs(os.path.join(root, "models", cls), exist_ok=True)
+        m = make_asymmetric_model(2500, scale_mm=55.0, seed=seed + cid)
+        models_mm[cid] = m
+        np.savetxt(os.path.join(root, "models", cls, "points.xyz"),
+                   m / 1000.0, fmt="%.6f")  # meters, like YCB points.xyz
+    with open(os.path.join(cfg_dir, "classes.txt"), "w") as f:
+        f.write("\n".join(classes) + "\n")
+
+    factor_depth = 10000.0
+
+    def render_frame(path_prefix, frame_classes):
+        """Render several objects into one frame; z-order by splatting far
+        objects first. Returns per-class poses."""
+        rgb = np.full((img_h, img_w, 3), 110, np.uint8)
+        depth = np.zeros((img_h, img_w), np.float64)
+        label = np.zeros((img_h, img_w), np.uint8)
+        poses = {}
+        order = sorted(frame_classes,
+                       key=lambda _: -rng.uniform())  # random z assignment
+        for cid in order:
+            q = rng.standard_normal(4)
+            q /= np.linalg.norm(q)
+            w_, x_, y_, z_ = q
+            R = np.array([
+                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_),
+                 2 * (w_ * y_ + x_ * z_)],
+                [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_),
+                 2 * (y_ * z_ - w_ * x_)],
+                [2 * (x_ * z_ - w_ * y_), 2 * (w_ * x_ + y_ * z_),
+                 1 - 2 * (x_ * x_ + y_ * y_)]])
+            t = np.array([rng.uniform(-0.12, 0.12), rng.uniform(-0.08, 0.08),
+                          rng.uniform(0.7, 1.1)]) * 1000.0  # mm
+            pts_cam = models_mm[cid] @ R.T + t
+            m = models_mm[cid]
+            pmin, pmax = m.min(0), m.max(0)
+            colors = (40 + 200 * (m - pmin) / (pmax - pmin)).astype(np.uint8)
+            r_img, d_img, mask = _splat_render(pts_cam, colors, img_h, img_w,
+                                               cam, splat=2)
+            # composite nearer-than-existing pixels
+            nearer = mask & ((depth == 0) | (d_img < depth))
+            rgb[nearer] = r_img[nearer]
+            depth[nearer] = d_img[nearer]
+            label[nearer] = cid
+            poses[cid] = (R, t / 1000.0)
+
+        Image.fromarray(rgb).save(path_prefix + "-color.png")
+        depth_png = np.round(depth / 1000.0 * factor_depth).astype(np.uint16)
+        Image.fromarray(depth_png).save(path_prefix + "-depth.png")
+        Image.fromarray(label).save(path_prefix + "-label.png")
+        cls_ids = sorted(poses)
+        pose_arr = np.zeros((3, 4, len(cls_ids)))
+        for k, cid in enumerate(cls_ids):
+            R, t_m = poses[cid]
+            pose_arr[:, :3, k] = R
+            pose_arr[:, 3, k] = t_m
+        scio.savemat(path_prefix + "-meta.mat", {
+            "cls_indexes": np.array(cls_ids).reshape(-1, 1),
+            "poses": pose_arr,
+            "factor_depth": np.array([[factor_depth]]),
+        })
+        return poses
+
+    train_list, test_list = [], []
+    os.makedirs(os.path.join(root, "data", "0000"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data_syn"), exist_ok=True)
+    for i in range(n_real + n_test):
+        name = f"data/0000/{i + 1:06d}"
+        picks = list(rng.choice(np.arange(1, n_classes + 1),
+                                size=min(2, n_classes), replace=False))
+        render_frame(os.path.join(root, name), picks)
+        (train_list if i < n_real else test_list).append(name)
+    for i in range(n_syn):
+        name = f"data_syn/{i + 1:06d}"
+        picks = list(rng.choice(np.arange(1, n_classes + 1),
+                                size=min(2, n_classes), replace=False))
+        render_frame(os.path.join(root, name), picks)
+        train_list.append(name)
+
+    with open(os.path.join(cfg_dir, "train_data_list.txt"), "w") as f:
+        f.write("\n".join(train_list) + "\n")
+    with open(os.path.join(cfg_dir, "test_data_list.txt"), "w") as f:
+        f.write("\n".join(test_list) + "\n")
+
+    if posecnn_dir is not None:
+        # fake PoseCNN results: gt labels as predicted labels, tight rois
+        os.makedirs(posecnn_dir, exist_ok=True)
+        for frame_idx, name in enumerate(test_list):
+            label = np.array(Image.open(
+                os.path.join(root, name) + "-label.png"))
+            rois = []
+            for cid in np.unique(label):
+                if cid == 0:
+                    continue
+                vs, us = np.where(label == cid)
+                #  roi layout: [_, itemid, cmin, rmin, cmax, rmax]
+                rois.append([0, cid, us.min() - 1, vs.min() - 1,
+                             us.max() + 1, vs.max() + 1])
+            scio.savemat(os.path.join(posecnn_dir, f"{frame_idx:06d}.mat"),
+                         {"labels": label.astype(np.float64),
+                          "rois": np.asarray(rois, np.float64)})
+
+
 def generate_cad_style_dataset(root: str, n_train: int = 6, n_test: int = 20,
                                img_h: int = 260, img_w: int = 554,
                                seed: int = 0, obj: int = 1) -> None:

@@ -1,0 +1,51 @@
+"""YCB eval CLI end-to-end smoke test on the synthetic YCB fixture with fake
+PoseCNN detections: .mat pose outputs + in-repo AUC metrics."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from densefusion_tpu.data import collate
+from densefusion_tpu.data.synthetic import generate_ycb_style_dataset
+from densefusion_tpu.models import PoseNet, PoseRefineNet
+from densefusion_tpu.train import create_train_state, save_checkpoint
+from densefusion_tpu.train.state import Curriculum
+from densefusion_tpu.utils.config import RunConfig
+from densefusion_tpu.cli import eval_ycb as eval_ycb_cli
+
+
+def test_eval_ycb_cli(tmp_path):
+    root = str(tmp_path / "ycb")
+    posecnn = str(tmp_path / "posecnn")
+    generate_ycb_style_dataset(root, n_classes=3, n_real=2, n_syn=1,
+                               n_test=2, seed=5, posecnn_dir=posecnn)
+
+    # random-weight checkpoint (mechanics test, not accuracy)
+    from densefusion_tpu.data.ycb import YCBPoseCNNEvalDataset
+    ds = YCBPoseCNNEvalDataset(root, posecnn, num_points=64, crop_size=64,
+                               num_keyframes=1)
+    sample = collate([ds.detections(0)[0][0]])
+    posenet, refiner = PoseNet(num_obj=3), PoseRefineNet(num_obj=3)
+    cfg = RunConfig.preset("ycb", num_points=64, crop_size=64)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               sample)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, Curriculum(), cfg)
+
+    out_dir = str(tmp_path / "eval_out")
+    summary = eval_ycb_cli.main([
+        "--dataset_root", root, "--posecnn_results", posecnn,
+        "--checkpoint", ckpt, "--num_points", "64", "--crop_size", "64",
+        "--num_keyframes", "2", "--output_dir", out_dir,
+    ])
+    assert 0.0 <= summary["adds_auc"] <= 100.0
+    assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    assert os.path.exists(os.path.join(
+        out_dir, "Densefusion_iterative_result", "0000.mat"))
+    import scipy.io as scio
+    mat = scio.loadmat(os.path.join(
+        out_dir, "Densefusion_iterative_result", "0000.mat"))
+    assert mat["poses"].shape[1] == 7  # quaternion + translation
