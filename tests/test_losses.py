@@ -178,3 +178,20 @@ def test_segmentation_loss_weighted_ignores(rng):
     lp = jax.nn.log_softmax(logits, axis=-1)
     np.testing.assert_allclose(np.asarray(got), -np.asarray(lp[0, 0, 0, 0]),
                                rtol=1e-5)
+
+
+def test_loss_dis_matches_eval_metric(rng):
+    """The training loss's best-hypothesis distance must equal the eval
+    metric's pose_distances for that pose — loss and metric share semantics
+    (SURVEY.md §7.1 'implemented once and shared')."""
+    from densefusion_tpu.eval import pose_distances
+    p = _make_problem(rng, noise=0.05)
+    b, n = p["points"].shape[:2]
+    conf = jnp.asarray(rng.uniform(0.1, 0.9, (b, n)), jnp.float32)
+    out = pose_loss(p["pred_r"], p["pred_t"], conf, p["target"], p["model"],
+                    p["points"], sym=jnp.zeros((b,), bool), w=0.015,
+                    knn_backend="xla")
+    metric = pose_distances(p["model"], out.best_r, out.best_t, p["target"],
+                            sym=jnp.zeros((b,), bool), backend="xla")
+    np.testing.assert_allclose(np.asarray(out.dis), np.asarray(metric),
+                               rtol=1e-4)
