@@ -34,11 +34,18 @@ def adaptive_avg_pool2d(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
     """NHWC adaptive average pooling with torch's window convention
     (start = floor(i*H/S), end = ceil((i+1)*H/S)).
 
-    Output sizes are tiny and static (the PSP pyramid uses 1/2/3/6), so the
-    window means unroll into a handful of fused slice-reductions.
+    Divisible sizes (the common case: PSP sizes 1/2/3/6 on stride-8 maps of
+    /8-divisible crops) take a single reshape-mean — one fused reduction
+    instead of S² slice-reductions; non-divisible sizes fall back to the
+    unrolled exact windows.
     """
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_size
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        lead = x.shape[:-3]
+        xr = x.reshape(lead + (oh, kh, ow, kw, x.shape[-1]))
+        return xr.mean(axis=(-4, -2))
     rows = []
     for i in range(oh):
         r0, r1 = (i * h) // oh, -(-((i + 1) * h) // oh)
