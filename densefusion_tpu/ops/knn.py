@@ -213,6 +213,13 @@ def adds_remap_targets(pred: jax.Array, target: jax.Array,
     branch, ``lib/loss.py:40-47`` / ``tools/eval_linemod.py:123-128``).
 
     pred (..., P, 3), target (..., M, 3) -> (..., P, 3).
+
+    The argmin indices are piecewise-constant in the inputs, so the NN search
+    runs on stop-gradiented inputs — this keeps the Pallas kernel (which has
+    no VJP rule) out of the autodiff path; gradients flow through the
+    ``take_along_axis`` gather and the distance computed by the caller, which
+    is the correct subgradient of the ADD-S objective.
     """
-    _, idx = nearest_neighbor(pred, target, backend=backend)
+    _, idx = nearest_neighbor(jax.lax.stop_gradient(pred),
+                              jax.lax.stop_gradient(target), backend=backend)
     return jnp.take_along_axis(target, idx[..., None].astype(jnp.int32), axis=-2)

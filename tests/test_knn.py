@@ -100,3 +100,21 @@ def test_adds_remap_symmetric_invariance(rng):
     add = np.linalg.norm(pred - ring, axis=-1).mean()
     assert adds < add  # remap recognizes the symmetry
     assert adds < 1e-5  # rotation by whole spacings is an exact symmetry
+
+
+def test_adds_remap_differentiable_around_pallas(rng):
+    """The Pallas kernel has no VJP; adds_remap_targets must keep it out of
+    the autodiff path (stop-gradient on the search inputs) so ADD-S losses
+    differentiate — this is exercised here through the interpreted kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    pred = jnp.asarray(rng.standard_normal((1, 40, 3)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((1, 30, 3)), jnp.float32)
+
+    def loss(p):
+        remapped = adds_remap_targets(p, target, backend="pallas")
+        return jnp.sum((p - remapped) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(pred)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
