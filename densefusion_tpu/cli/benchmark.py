@@ -168,16 +168,21 @@ def main(argv=None):
     p.add_argument("--what", default="all",
                    choices=["all", "knn", "inference", "train", "scaling"])
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace (XProf/TensorBoard) "
+                        "of the benchmarked region")
     args = p.parse_args(argv)
+    from densefusion_tpu.utils.profiling import trace_context
     results = {}
-    if args.what in ("all", "knn"):
-        results.update(bench_knn())
-    if args.what in ("all", "inference"):
-        results.update(bench_inference(batch=args.batch))
-    if args.what in ("all", "train"):
-        results.update(bench_train_step())
-    if args.what == "scaling":
-        results.update(bench_scaling())
+    with trace_context(args.trace_dir):
+        if args.what in ("all", "knn"):
+            results.update(bench_knn())
+        if args.what in ("all", "inference"):
+            results.update(bench_inference(batch=args.batch))
+        if args.what in ("all", "train"):
+            results.update(bench_train_step())
+        if args.what == "scaling":
+            results.update(bench_scaling())
     print(json.dumps(results, indent=2))
     return results
 
