@@ -1,0 +1,80 @@
+"""Serving API tests: checkpoint -> PoseEstimator -> pose from raw RGB-D, on
+the synthetic LineMOD fixture (where gt is exact, so a trained-free model
+still validates plumbing: output shapes, unit quat, lost-detection path)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from densefusion_tpu.data import generate_linemod_style_dataset, collate
+from densefusion_tpu.data.linemod import LineModDataset, _load_image
+from densefusion_tpu.geometry.camera import LINEMOD_CAM
+from densefusion_tpu.models import PoseNet, PoseRefineNet
+from densefusion_tpu.serve import PoseEstimator
+from densefusion_tpu.train import create_train_state, save_checkpoint
+from densefusion_tpu.train.state import Curriculum
+from densefusion_tpu.utils.config import RunConfig
+
+
+@pytest.fixture(scope="module")
+def estimator(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lm_serve"))
+    generate_linemod_style_dataset(root, objlist=(1,), n_train=2, n_test=10,
+                                   seed=6)
+    ds = LineModDataset(root, "train", num_points=64, crop_size=64,
+                        num_mesh_points=64, objlist=[1], add_noise=False)
+    batch = collate([ds[0]])
+    posenet, refiner = PoseNet(num_obj=1), PoseRefineNet(num_obj=1)
+    cfg = RunConfig(num_objects=1, num_points=64, crop_size=64)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch)
+    ckpt = str(tmp_path_factory.mktemp("ck") / "ckpt")
+    save_checkpoint(ckpt, state, Curriculum(), cfg)
+    est = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
+                                        crop_size=64, refine_iters=2)
+    return est, root
+
+
+def test_estimate_from_raw_frame(estimator):
+    est, root = estimator
+    base = os.path.join(root, "data", "01")
+    rgb = _load_image(os.path.join(base, "rgb", "0000.png"))
+    depth = _load_image(os.path.join(base, "depth", "0000.png"))
+    mask = _load_image(os.path.join(base, "mask", "0000.png"))[..., 0] == 255
+
+    def pinhole_mm(cam):
+        return cam
+
+    out = est.estimate(rgb, depth, mask, obj_idx=0, intrinsics=LINEMOD_CAM,
+                       unit_scale=1e-3)
+    assert out is not None
+    q, t, c = out
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-4)
+    assert 0.0 < c < 1.0
+    assert 0.2 < t[2] < 2.0  # translation near the rendered depth range
+
+
+def test_estimate_lost_detection(estimator):
+    est, _ = estimator
+    rgb = np.zeros((480, 640, 3), np.uint8)
+    depth = np.zeros((480, 640), np.uint16)
+    mask = np.zeros((480, 640), bool)
+    assert est.estimate(rgb, depth, mask, 0, LINEMOD_CAM) is None
+
+
+def test_estimate_batch(estimator):
+    est, root = estimator
+    base = os.path.join(root, "data", "01")
+    samples = []
+    for i in range(2):
+        rgb = _load_image(os.path.join(base, "rgb", f"{i:04d}.png"))
+        depth = _load_image(os.path.join(base, "depth", f"{i:04d}.png"))
+        mask = _load_image(os.path.join(base, "mask",
+                                        f"{i:04d}.png"))[..., 0] == 255
+        samples.append(est.make_sample(rgb, depth, mask, 0, LINEMOD_CAM,
+                                       unit_scale=1e-3))
+    q, t, c, valid = est.estimate_batch(samples)
+    assert q.shape == (2, 4) and t.shape == (2, 3)
+    assert valid.all()
