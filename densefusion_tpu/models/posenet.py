@@ -120,15 +120,22 @@ class PoseNet(nn.Module):
     cnn_variant: str = "resnet18"
     emb_dim: int = 32
     dtype: type | None = None    # bf16 compute path: set jnp.bfloat16
+    sparse_emb: bool = True      # sparse-decode the CNN at the N choose
+    # pixels instead of the full crop (identical math; docs/PERF.md)
 
     @nn.compact
     def __call__(self, img, points, choose, obj, train: bool = False):
-        emb_map = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
-                         dtype=self.dtype, name="cnn")(img, train=train)
-        b, h, w, d = emb_map.shape
-        flat = emb_map.reshape(b, h * w, d)
-        emb = jnp.take_along_axis(
-            flat, choose.astype(jnp.int32)[..., None], axis=1)  # (B, N, d)
+        cnn = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
+                     dtype=self.dtype, name="cnn")
+        if self.sparse_emb:
+            emb = cnn(img, train=train,
+                      sample_at=choose.astype(jnp.int32))     # (B, N, d)
+        else:
+            emb_map = cnn(img, train=train)
+            b, h, w, d = emb_map.shape
+            flat = emb_map.reshape(b, h * w, d)
+            emb = jnp.take_along_axis(
+                flat, choose.astype(jnp.int32)[..., None], axis=1)
 
         feat = DenseFusionFeat(dtype=self.dtype,
                                name="fusion")(points, emb)    # (B, N, 1408)

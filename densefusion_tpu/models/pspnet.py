@@ -66,12 +66,66 @@ class PSPUpsample(nn.Module):
         return PReLU(name="prelu")(x)
 
 
+def sparse_upsample_taps(x: jax.Array, rows: jax.Array,
+                         cols: jax.Array) -> jax.Array:
+    """The 3x3 conv-tap neighborhoods of ``upsample2x(x)`` at selected
+    FULL-RES pixels, without materializing the upsampled map.
+
+    x: (B, h, w, C) half-res features; rows/cols: (B, N) full-res (2h x 2w)
+    pixel coordinates -> (B, N, 3, 3, C) upsampled tap patches, exactly
+    matching ``resize_bilinear(x, 2x)`` then 3x3 zero-padded windowing: the
+    half-pixel 2x upsample of full-res row y = 2k is 0.25*x[k-1] + 0.75*x[k]
+    (edge-clamped) and of y = 2k+1 is 0.75*x[k] + 0.25*x[k+1], so the tap
+    rows {y-1, y, y+1} only touch half-res rows {k-1, k, k+1} — one gathered
+    3x3 half-res patch serves all 9 taps; out-of-image taps are zeroed (conv
+    padding). This is the sparse-decode optimization: DenseFusion reads only
+    N of the 4hw decoded pixels (docs/PERF.md).
+    """
+    b, h, w, cin = x.shape
+    n = rows.shape[1]
+    k, kc = rows // 2, cols // 2
+    dr = jnp.arange(-1, 2)
+    pr = jnp.clip(k[:, :, None] + dr[None, None, :], 0, h - 1)   # (B, N, 3)
+    pc = jnp.clip(kc[:, :, None] + dr[None, None, :], 0, w - 1)
+    flat = x.reshape(b, h * w, cin)
+    idx = (pr[:, :, :, None] * w + pc[:, :, None, :]).reshape(b, n * 9)
+    patch = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    patch = patch.reshape(b, n, 3, 3, cin)              # half-res 3x3
+
+    # 1-D upsample weights of the 3 half-res rows (k-1, k, k+1) for each tap
+    # row (y-1, y, y+1), by parity of the full-res coordinate y:
+    # even y=2k: taps 2k-1 (odd, rows k-1,k), 2k (rows k-1,k), 2k+1 (k,k+1)
+    w_even = jnp.array([[0.75, 0.25, 0.0],
+                        [0.25, 0.75, 0.0],
+                        [0.0, 0.75, 0.25]], x.dtype)
+    # odd y=2k+1: taps 2k, 2k+1, 2k+2 -> rows (k-1,k), (k,k+1), (k,k+1)
+    w_odd = jnp.array([[0.25, 0.75, 0.0],
+                       [0.0, 0.75, 0.25],
+                       [0.0, 0.25, 0.75]], x.dtype)
+    wr = jnp.where((rows % 2 == 1)[:, :, None, None], w_odd, w_even)
+    wc = jnp.where((cols % 2 == 1)[:, :, None, None], w_odd, w_even)
+    # zero taps outside the full-res image (conv zero padding)
+    tap = jnp.arange(-1, 2)
+    row_ok = ((rows[:, :, None] + tap) >= 0) & \
+        ((rows[:, :, None] + tap) < 2 * h)
+    col_ok = ((cols[:, :, None] + tap) >= 0) & \
+        ((cols[:, :, None] + tap) < 2 * w)
+    wr = wr * row_ok[..., None].astype(x.dtype)
+    wc = wc * col_ok[..., None].astype(x.dtype)
+    # U[t_r, t_c] = sum_{i,j} wr[t_r, i] * wc[t_c, j] * P[i, j]
+    return jnp.einsum("bnti,bnuj,bnijc->bntuc", wr, wc, patch)
+
+
 class PSPNet(nn.Module):
-    """Per-pixel embedding CNN: (B, H, W, 3) -> (B, H, W, emb_dim).
+    """Per-pixel embedding CNN: (B, H, W, 3) -> (B, H, W, emb_dim), or — with
+    ``sample_at`` — only the ``emb_dim`` vectors at N selected pixels.
 
     H and W must be multiples of 8 (trunk output stride). ``emb_dim=32`` per
     the contract the fusion network consumes (``lib/pspnet.py:54``,
-    SURVEY.md §2.4).
+    SURVEY.md §2.4). The ``sample_at`` path evaluates the last decoder stage
+    (up3 conv + PReLU + final 1x1 + log-softmax) sparsely at the requested
+    pixels — identical math, O(N) instead of O(H·W) for the most expensive
+    full-resolution stage.
     """
 
     variant: str = "resnet18"
@@ -84,7 +138,8 @@ class PSPNet(nn.Module):
     dtype: type | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, sample_at=None):
+        h_full, w_full = x.shape[-3], x.shape[-2]
         f, _class_f = DilatedResNet(variant=self.variant, dtype=self.dtype,
                                     name="trunk")(x)
         p = PSPModule(out_features=self.psp_out, sizes=self.sizes,
@@ -95,16 +150,40 @@ class PSPNet(nn.Module):
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
         p = PSPUpsample(64, dtype=self.dtype, name="up2")(p)
         p = Dropout2d(self.drop2, name="drop2b")(p, deterministic=not train)
-        p = PSPUpsample(64, dtype=self.dtype, name="up3")(p)
 
+        # Final stage modules — ONE parameter set serving both the dense and
+        # the sparse path (VALID conv + explicit padding/patches).
+        up3_conv = nn.Conv(64, (3, 3), padding="VALID",
+                           kernel_init=he_normal_fan_out, dtype=self.dtype,
+                           name="up3_conv")
+        up3_prelu = PReLU(name="up3_prelu")
         # zero-init final projection: the embedding starts at the uniform
         # log-softmax (-log emb_dim) instead of inheriting the trunk's
         # activation spread — with the BN-free trunk + he init, a non-tiny
         # init here produces O(100)-magnitude log-probs that destabilize the
         # fusion net (torch's default small conv init gave the reference the
         # same near-uniform start implicitly).
-        p = nn.Conv(self.emb_dim, (1, 1), kernel_init=nn.initializers.zeros,
-                    dtype=self.dtype, name="final")(p)
+        final = nn.Conv(self.emb_dim, (1, 1),
+                        kernel_init=nn.initializers.zeros,
+                        dtype=self.dtype, name="final")
+
+        if sample_at is None:
+            h2, w2 = p.shape[-3], p.shape[-2]
+            p = resize_bilinear(p, (2 * h2, 2 * w2))
+            p = jnp.pad(p, [(0, 0), (1, 1), (1, 1), (0, 0)])
+            p = up3_conv(p)
+            p = up3_prelu(p)
+            p = final(p)
+        else:
+            rows = sample_at // w_full
+            cols = sample_at % w_full
+            taps = sparse_upsample_taps(p, rows, cols)   # (B, N, 3, 3, C)
+            b, n = taps.shape[:2]
+            y = up3_conv(taps.reshape(b * n, 3, 3, taps.shape[-1]))
+            y = y.reshape(b, n, 64)
+            y = up3_prelu(y)
+            p = final(y[:, :, None, :])[:, :, 0, :]       # 1x1 over (B,N,1,C)
+
         # log-softmax in f32 for numerical stability under bf16 compute
         p = p.astype(jnp.float32)
         if self.log_softmax_emb:
