@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iteration", type=int, default=2,
                    help="refinement iterations")
     p.add_argument("--nepoch", type=int, default=500)
+    p.add_argument("--repeat_epoch", type=int, default=None,
+                   help="override the dataset preset's per-epoch repeat count")
     p.add_argument("--crop_size", type=int, default=192)
     p.add_argument("--resume", default="",
                    help="checkpoint directory to resume from")
@@ -47,8 +49,12 @@ def main(argv=None):
     from densefusion_tpu.utils.config import RunConfig
     from densefusion_tpu.train import Trainer
 
+    overrides = {}
+    if args.repeat_epoch is not None:
+        overrides["repeat_epoch"] = args.repeat_epoch
     cfg = RunConfig.preset(
         args.dataset,
+        **overrides,
         dataset_root=args.dataset_root, batch_size=args.batch_size,
         grad_accum=args.grad_accum, num_workers=args.workers, lr=args.lr,
         lr_rate=args.lr_rate, w=args.w, w_rate=args.w_rate,
