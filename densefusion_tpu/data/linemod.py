@@ -22,6 +22,7 @@ from densefusion_tpu.data.common import (
     assemble_sample, subsample_model_points,
 )
 from densefusion_tpu.data.augment import color_jitter, translation_noise
+from densefusion_tpu.data.cache import ImageCache
 
 LINEMOD_OBJLIST = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
 LINEMOD_SYM = [7, 8]  # eggbox, glue (datasets/linemod/dataset.py:88)
@@ -46,7 +47,8 @@ class LineModDataset:
                  add_noise: bool | None = None, noise_trans: float = 0.03,
                  refine: bool = False, crop_size: int = 192,
                  num_mesh_points: int = 500, seed: int = 0,
-                 objlist: Sequence[int] | None = None):
+                 objlist: Sequence[int] | None = None,
+                 cache_frames: int = 4096):
         self.root = root
         self.mode = mode
         self.num_points = num_points
@@ -57,6 +59,9 @@ class LineModDataset:
         self.num_mesh = num_mesh_points
         self.objlist = list(objlist) if objlist is not None else list(LINEMOD_OBJLIST)
         self.rng = np.random.default_rng(seed)
+        # decoded-frame LRU: LineMOD repeats each epoch 20x, so decode once
+        # (~2 MB/frame decoded; default caps at ~8 GB)
+        self.cache = ImageCache(cache_frames)
 
         self.items: list[tuple[int, int]] = []  # (obj, frame_id)
         self.meta: dict[int, dict] = {}
@@ -97,17 +102,20 @@ class LineModDataset:
     def __getitem__(self, index: int) -> PoseSample:
         obj, frame = self.items[index]
         base = os.path.join(self.root, "data", f"{obj:02d}")
-        rgb = _load_image(os.path.join(base, "rgb", f"{frame:04d}.png"))[..., :3]
-        depth = _load_image(os.path.join(base, "depth", f"{frame:04d}.png"))
+        rgb = self.cache.load(
+            os.path.join(base, "rgb", f"{frame:04d}.png"))[..., :3]
+        depth = self.cache.load(
+            os.path.join(base, "depth", f"{frame:04d}.png"))
         if self.mode == "eval":
-            label = _load_image(os.path.join(
+            label = self.cache.load(os.path.join(
                 self.root, "segnet_results", f"{obj:02d}_label",
                 f"{frame:04d}_label.png"))
             mask_label = label == 255
             if mask_label.ndim == 3:
                 mask_label = mask_label[..., 0]
         else:
-            label = _load_image(os.path.join(base, "mask", f"{frame:04d}.png"))
+            label = self.cache.load(
+                os.path.join(base, "mask", f"{frame:04d}.png"))
             mask_label = (label == 255)
             if mask_label.ndim == 3:
                 mask_label = mask_label[..., 0]

@@ -24,6 +24,7 @@ from densefusion_tpu.data.common import (
 from densefusion_tpu.data.augment import (
     color_jitter, translation_noise, gaussian_pixel_noise,
 )
+from densefusion_tpu.data.cache import ImageCache
 
 YCB_SYM = [12, 15, 18, 19, 20]  # datasets/ycb/dataset.py:89
 YCB_NUM_OBJECTS = 21
@@ -44,7 +45,7 @@ class YCBDataset:
                  add_noise: bool | None = None, noise_trans: float = 0.03,
                  refine: bool = False, crop_size: int = 192,
                  config_dir: str | None = None, seed: int = 0,
-                 minimum_num_pt: int = 50):
+                 minimum_num_pt: int = 50, cache_frames: int = 2048):
         self.root = root
         self.mode = mode
         self.num_points = num_points
@@ -54,6 +55,7 @@ class YCBDataset:
         self.crop_size = crop_size
         self.minimum_num_pt = minimum_num_pt
         self.rng = np.random.default_rng(seed)
+        self.cache = ImageCache(cache_frames)
         # 500 normal / 2600 once refinement starts (dataset.py:90-91)
         self.num_mesh = 2600 if refine else 500
 
@@ -105,8 +107,8 @@ class YCBDataset:
         for _ in range(5):
             seed_frame = self.syn[self.rng.integers(len(self.syn))]
             c_path, _, l_path, _ = self._frame_paths(seed_frame)
-            front = _load_image(c_path)[..., :3]
-            f_label = _load_image(l_path)
+            front = self.cache.load(c_path)[..., :3]
+            f_label = self.cache.load(l_path)
             ids = [i for i in np.unique(f_label) if i != 0]
             if len(ids) < 2:
                 continue
@@ -120,9 +122,9 @@ class YCBDataset:
     def __getitem__(self, index: int) -> PoseSample:
         frame = self.frames[index]
         c_path, d_path, l_path, m_path = self._frame_paths(frame)
-        rgb = _load_image(c_path)[..., :3]
-        depth = _load_image(d_path)
-        label = _load_image(l_path)
+        rgb = self.cache.load(c_path)[..., :3]
+        depth = self.cache.load(d_path)
+        label = self.cache.load(l_path)
         meta = _load_mat(m_path)
         is_syn = not frame.startswith("data/")
 
@@ -153,7 +155,7 @@ class YCBDataset:
 
         if is_syn:  # real background behind the render (dataset.py:155-159)
             back_frame = self.real[self.rng.integers(len(self.real))]
-            back = _load_image(self._frame_paths(back_frame)[0])[..., :3]
+            back = self.cache.load(self._frame_paths(back_frame)[0])[..., :3]
             rgb = np.where(mask_back[..., None], back, rgb)
 
         if self.add_noise and mask_front is not None:
