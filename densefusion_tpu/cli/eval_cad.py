@@ -58,7 +58,8 @@ def main(argv=None):
     sample = next(iter(loader.epoch(0)))
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                sample)
-    state, _, _ = load_checkpoint(args.checkpoint, state)
+    state, _, _ = load_checkpoint(args.checkpoint, state,
+                                  restore_opt=False)
     pipe = InferencePipeline(posenet, refiner, refine_iters=args.iterations)
     dist_fn = jax.jit(pose_distances)
 

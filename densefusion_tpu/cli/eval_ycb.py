@@ -86,11 +86,18 @@ def main(argv=None):
             if state is None:
                 state = create_train_state(posenet, refiner, cfg,
                                            jax.random.key(0), batch)
-                state, _, _ = load_checkpoint(args.checkpoint, state)
+                state, _, _ = load_checkpoint(args.checkpoint, state,
+                                  restore_opt=False)
             if not sample.valid:
-                # lost detection -> zero pose (tools/eval_ycb.py:234-237)
+                # lost detection -> zero pose (tools/eval_ycb.py:234-237);
+                # the toolbox still SCORES these (a zero pose has a huge
+                # distance that counts as a failure inside VOCap), so record
+                # inf rather than dropping them — dropping would inflate AUC
                 wo_poses.append([0.0] * 7)
                 it_poses.append([0.0] * 7)
+                dists_sys.append(np.inf)
+                dists_non.append(np.inf)
+                cls_ids.append(itemid)
                 continue
             inputs = (batch.img, batch.points, batch.choose, batch.obj_idx)
             q0, t0, _ = pipe0(state.params_pose, state.params_refine, *inputs)

@@ -109,7 +109,8 @@ class CADDataset:
         self.crop_size = crop_size
         self.num_mesh = num_mesh_points
         self.objlist = list(objlist)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
         self.items: list[tuple[int, int]] = []
         self.meta: dict[int, dict[int, tuple[np.ndarray, np.ndarray]]] = {}
@@ -152,6 +153,12 @@ class CADDataset:
     def __len__(self):
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self._epoch, index))
+
     @property
     def sym_list(self) -> list[int]:
         return []  # dataset.py:216-217
@@ -161,6 +168,7 @@ class CADDataset:
         return self.num_mesh
 
     def __getitem__(self, index: int) -> PoseSample:
+        rng = self._rng(index)
         obj, frame = self.items[index]
         base = os.path.join(self.root, "data", f"{obj:02d}")
         rgb = _load_image(
@@ -188,12 +196,12 @@ class CADDataset:
         t_gt = pos * 1000.0
         t_gt[2] = -t_gt[2]
 
-        add_t = (translation_noise(self.rng, self.noise_trans)
+        add_t = (translation_noise(rng, self.noise_trans)
                  if self.add_noise else None)
-        rgb_transform = ((lambda crop: color_jitter(crop, self.rng))
+        rgb_transform = ((lambda crop: color_jitter(crop, rng))
                          if self.add_noise else None)
 
-        model = subsample_model_points(self.models[obj], self.num_mesh, self.rng)
+        model = subsample_model_points(self.models[obj], self.num_mesh, rng)
         target = (model @ R_gt.T + t_gt) / 10000.0
         raymap = self.raymaps[obj]
 
@@ -205,5 +213,5 @@ class CADDataset:
             model_points=model / 10000.0, target=target,
             obj_idx=self.objlist.index(obj), sym=False,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=self.rng, add_t=add_t, rgb_transform=rgb_transform,
+            rng=rng, add_t=add_t, rgb_transform=rgb_transform,
         )

@@ -15,11 +15,31 @@ from typing import Callable
 import numpy as np
 
 from densefusion_tpu import native
-from densefusion_tpu.geometry.bbox import snap_bbox
+from densefusion_tpu.geometry.bbox import snap_bbox, remap_choose_to_resized
 from densefusion_tpu.data.schema import (
     PoseSample, normalize_image, IMAGENET_MEAN_255, IMAGENET_STD_255,
 )
 from densefusion_tpu.data.augment import resize_bilinear_np
+
+
+def pinhole_point_fn(depth: np.ndarray, cam, depth_scale: float,
+                     unit_scale: float = 1.0):
+    """Returns point_fn(rows, cols) back-projecting via the native data-plane
+    when available (bit-identical numpy fallback). ``cam`` needs
+    fx/fy/cx/cy attributes; ``depth_scale`` converts raw depth units,
+    ``unit_scale`` converts to meters."""
+    if native.available():
+        def point_fn(rows, cols):
+            return native.backproject(
+                depth[rows, cols], rows, cols, cam.fx, cam.fy, cam.cx,
+                cam.cy, depth_scale, unit_scale)
+    else:
+        def point_fn(rows, cols):
+            z = depth[rows, cols].astype(np.float32) / depth_scale
+            x3 = (cols.astype(np.float32) - cam.cx) * z / cam.fx
+            y3 = (rows.astype(np.float32) - cam.cy) * z / cam.fy
+            return np.stack([x3, y3, z], -1) * unit_scale
+    return point_fn
 
 
 def choose_mask_pixels(mask_crop: np.ndarray, num_points: int,
@@ -94,15 +114,9 @@ def assemble_sample(
         img = normalize_image(crop_rgb)
         if (crop_h, crop_w) != (crop_size, crop_size):
             img = resize_bilinear_np(img, crop_size, crop_size)
-            # nearest-pixel correspondence under the same half-pixel mapping
-            # (ties half-up == floor((x+0.5)*scale), matching the native path)
-            new_r = np.clip(
-                np.floor((rows - rmin + 0.5) * crop_size / crop_h),
-                0, crop_size - 1)
-            new_c = np.clip(
-                np.floor((cols - cmin + 0.5) * crop_size / crop_w),
-                0, crop_size - 1)
-            choose = (new_r * crop_size + new_c).astype(np.int64)
+            choose = remap_choose_to_resized(
+                (rows - rmin) * crop_w + (cols - cmin),
+                crop_h, crop_w, crop_size, crop_size)
 
     return PoseSample(
         points=cloud,

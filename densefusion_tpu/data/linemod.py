@@ -19,13 +19,18 @@ from densefusion_tpu.geometry.camera import LINEMOD_CAM
 from densefusion_tpu.data.schema import PoseSample
 from densefusion_tpu.data.ply import read_ply_vertices
 from densefusion_tpu.data.common import (
-    assemble_sample, subsample_model_points,
+    assemble_sample, subsample_model_points, pinhole_point_fn,
 )
 from densefusion_tpu.data.augment import color_jitter, translation_noise
 from densefusion_tpu.data.cache import ImageCache
 
 LINEMOD_OBJLIST = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
-LINEMOD_SYM = [7, 8]  # eggbox, glue (datasets/linemod/dataset.py:88)
+# symmetric objects by OBJECT ID: 10 = eggbox, 11 = glue (the reference's
+# sym indices [7, 8] are their POSITIONS in the full objlist,
+# datasets/linemod/dataset.py:88 — keying on ids keeps custom --objlist
+# subsets correct)
+LINEMOD_SYM_IDS = (10, 11)
+LINEMOD_SYM = [LINEMOD_OBJLIST.index(i) for i in LINEMOD_SYM_IDS]
 
 
 def _load_image(path: str) -> np.ndarray:
@@ -58,7 +63,8 @@ class LineModDataset:
         self.crop_size = crop_size
         self.num_mesh = num_mesh_points
         self.objlist = list(objlist) if objlist is not None else list(LINEMOD_OBJLIST)
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         # decoded-frame LRU: LineMOD repeats each epoch 20x, so decode once
         # (~2 MB/frame decoded; default caps at ~8 GB)
         self.cache = ImageCache(cache_frames)
@@ -83,9 +89,20 @@ class LineModDataset:
     def __len__(self):
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _rng(self, index: int) -> np.random.Generator:
+        """Per-(seed, epoch, sample) generator: thread-safe under the loader
+        pool and bit-reproducible regardless of worker scheduling (the
+        reference's unseeded workers are neither, SURVEY.md §5.2)."""
+        return np.random.default_rng((self.seed, self._epoch, index))
+
     @property
     def sym_list(self) -> list[int]:
-        return [s for s in LINEMOD_SYM if s < len(self.objlist)]
+        """Positions of the symmetric objects within THIS objlist."""
+        return [self.objlist.index(i) for i in LINEMOD_SYM_IDS
+                if i in self.objlist]
 
     @property
     def num_points_mesh(self) -> int:
@@ -100,6 +117,7 @@ class LineModDataset:
         return entries[0]
 
     def __getitem__(self, index: int) -> PoseSample:
+        rng = self._rng(index)
         obj, frame = self.items[index]
         base = os.path.join(self.root, "data", f"{obj:02d}")
         rgb = self.cache.load(
@@ -135,29 +153,25 @@ class LineModDataset:
             x, y, w, h = meta["obj_bb"]
             bbox = (y, y + h, x, x + w)
 
-        add_t = (translation_noise(self.rng, self.noise_trans)
+        add_t = (translation_noise(rng, self.noise_trans)
                  if self.add_noise else None)
-        rgb_transform = ((lambda crop: color_jitter(crop, self.rng))
+        rgb_transform = ((lambda crop: color_jitter(crop, rng))
                          if self.add_noise else None)
 
-        model = subsample_model_points(self.models[obj], self.num_mesh, self.rng)
+        model = subsample_model_points(self.models[obj], self.num_mesh, rng)
         target = model @ R_gt.T + t_gt
 
         cam = LINEMOD_CAM
-
-        def point_fn(rows, cols):
-            z = depth[rows, cols].astype(np.float32) / cam.depth_scale
-            x3 = (cols.astype(np.float32) - cam.cx) * z / cam.fx
-            y3 = (rows.astype(np.float32) - cam.cy) * z / cam.fy
-            return np.stack([x3, y3, z], -1) / 1000.0  # mm -> m
+        point_fn = pinhole_point_fn(depth, cam, cam.depth_scale,
+                                    unit_scale=1e-3)  # mm -> m
 
         return assemble_sample(
             rgb=rgb, mask=mask, bbox=bbox, point_fn=point_fn,
             model_points=model, target=target,
             obj_idx=self.objlist.index(obj),
-            sym=self.objlist.index(obj) in LINEMOD_SYM,
+            sym=obj in LINEMOD_SYM_IDS,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=self.rng, add_t=add_t, rgb_transform=rgb_transform,
+            rng=rng, add_t=add_t, rgb_transform=rgb_transform,
         )
 
     def diameters(self, models_info_path: str | None = None) -> np.ndarray:

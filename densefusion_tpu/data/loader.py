@@ -54,6 +54,10 @@ class BatchLoader:
 
     def epoch(self, epoch: int = 0, start_batch: int = 0) -> Iterator:
         """Iterate batches of one epoch, optionally resuming mid-epoch."""
+        if hasattr(self.dataset, "set_epoch"):
+            # per-sample RNG derives from (seed, epoch, index): thread-safe
+            # and bit-reproducible regardless of worker scheduling
+            self.dataset.set_epoch(epoch)
         batches = self.batch_indices(epoch)[start_batch:]
         if self.num_workers <= 1:
             for idx in batches:

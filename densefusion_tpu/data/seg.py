@@ -39,7 +39,8 @@ class SegDataset:
         self.root = root
         self.mode = mode
         self.use_noise = (mode == "train") if use_noise is None else use_noise
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         cfg = config_dir or os.path.join(root, "dataset_config")
         list_file = os.path.join(
             cfg, "train_data_list.txt" if mode == "train"
@@ -51,7 +52,11 @@ class SegDataset:
     def __len__(self):
         return len(self.frames)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
     def __getitem__(self, index: int) -> SegSample:
+        rng = np.random.default_rng((self.seed, self._epoch, index))
         frame = self.frames[index]
         base = os.path.join(self.root, frame)
         rgb = _load_image(base + "-color.png")[..., :3]
@@ -59,16 +64,16 @@ class SegDataset:
         is_syn = not frame.startswith("data/")
 
         if self.use_noise:
-            rgb = color_jitter(rgb, self.rng)
+            rgb = color_jitter(rgb, rng)
             if is_syn and self.real:
-                back_frame = self.real[self.rng.integers(len(self.real))]
+                back_frame = self.real[rng.integers(len(self.real))]
                 back = _load_image(
                     os.path.join(self.root, back_frame) + "-color.png")[..., :3]
                 rgb = np.where((label == 0)[..., None], back, rgb)
             # joint flips (data_controller.py:70-82)
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 rgb, label = rgb[:, ::-1], label[:, ::-1]
-            if self.rng.random() < 0.5:
+            if rng.random() < 0.5:
                 rgb, label = rgb[::-1], label[::-1]
 
         return SegSample(rgb=normalize_image(np.ascontiguousarray(rgb)),

@@ -63,15 +63,22 @@ def _splat_render(points_cam_mm: np.ndarray, colors: np.ndarray,
     depth = np.zeros((img_h, img_w), np.float64)
     rgb = np.full((img_h, img_w, 3), 110, np.uint8)
     zbuf = np.full((img_h, img_w), np.inf)
-    order = np.argsort(-pts[:, 2])  # far to near; near overwrites
+    order = np.argsort(-pts[:, 2])  # far to near; near overwrites in-pass
+    z_sorted = pts[order][:, 2]
+    cols_sorted = cols[order]
     for du in range(-splat, splat + 1):
         for dv in range(-splat, splat + 1):
             uu = u[order] + du
             vv = v[order] + dv
             ok = (uu >= 0) & (uu < img_w) & (vv >= 0) & (vv < img_h)
-            zbuf[vv[ok], uu[ok]] = pts[order][ok][:, 2]
-            rgb[vv[ok], uu[ok]] = cols[order][ok]
-            depth[vv[ok], uu[ok]] = pts[order][ok][:, 2]
+            uo, vo, zo, co = uu[ok], vv[ok], z_sorted[ok], cols_sorted[ok]
+            # z-test against earlier passes; within a pass the far->near
+            # write order leaves the nearest duplicate standing
+            keep = zo <= zbuf[vo, uo]
+            uo, vo, zo, co = uo[keep], vo[keep], zo[keep], co[keep]
+            zbuf[vo, uo] = zo
+            rgb[vo, uo] = co
+            depth[vo, uo] = zo
     mask = depth > 0
     return rgb, np.round(depth).astype(np.uint16), mask
 

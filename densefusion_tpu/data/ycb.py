@@ -19,7 +19,7 @@ from densefusion_tpu.geometry.bbox import bbox_from_mask
 from densefusion_tpu.geometry.camera import YCB_CAM_1, YCB_CAM_2
 from densefusion_tpu.data.schema import PoseSample
 from densefusion_tpu.data.common import (
-    assemble_sample, subsample_model_points,
+    assemble_sample, subsample_model_points, pinhole_point_fn,
 )
 from densefusion_tpu.data.augment import (
     color_jitter, translation_noise, gaussian_pixel_noise,
@@ -54,7 +54,8 @@ class YCBDataset:
         self.refine = refine
         self.crop_size = crop_size
         self.minimum_num_pt = minimum_num_pt
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.cache = ImageCache(cache_frames)
         # 500 normal / 2600 once refinement starts (dataset.py:90-91)
         self.num_mesh = 2600 if refine else 500
@@ -79,6 +80,14 @@ class YCBDataset:
     def __len__(self):
         return len(self.frames)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _rng(self, index: int) -> np.random.Generator:
+        """Per-(seed, epoch, sample) generator: thread-safe under the loader
+        pool and bit-reproducible regardless of worker scheduling."""
+        return np.random.default_rng((self.seed, self._epoch, index))
+
     @property
     def sym_list(self) -> list[int]:
         return list(YCB_SYM)
@@ -98,21 +107,21 @@ class YCBDataset:
         return (base + "-color.png", base + "-depth.png",
                 base + "-label.png", base + "-meta.mat")
 
-    def _composite_front(self, label: np.ndarray):
+    def _composite_front(self, label: np.ndarray, rng: np.random.Generator):
         """Paste two object masks from another synthetic frame as occluders
         (dataset.py:116-137): their pixels are removed from the current label
         so the occluded object's visible mask shrinks. Jitter is applied once
         on the final crop (assemble_sample) rather than per source frame —
         full-frame HSV jitter x3 was the loader's dominant cost."""
         for _ in range(5):
-            seed_frame = self.syn[self.rng.integers(len(self.syn))]
+            seed_frame = self.syn[rng.integers(len(self.syn))]
             c_path, _, l_path, _ = self._frame_paths(seed_frame)
             front = self.cache.load(c_path)[..., :3]
             f_label = self.cache.load(l_path)
             ids = [i for i in np.unique(f_label) if i != 0]
             if len(ids) < 2:
                 continue
-            pick = self.rng.choice(ids, size=2, replace=False)
+            pick = rng.choice(ids, size=2, replace=False)
             mask_front = ~np.isin(f_label, pick)  # True where NOT occluded
             t_label = label * mask_front
             if (t_label != 0).sum() > 1000:
@@ -120,6 +129,7 @@ class YCBDataset:
         return label, None, None
 
     def __getitem__(self, index: int) -> PoseSample:
+        rng = self._rng(index)
         frame = self.frames[index]
         c_path, d_path, l_path, m_path = self._frame_paths(frame)
         rgb = self.cache.load(c_path)[..., :3]
@@ -133,13 +143,13 @@ class YCBDataset:
         mask_front = None
         front = None
         if self.add_noise:
-            label, mask_front, front = self._composite_front(label)
+            label, mask_front, front = self._composite_front(label, rng)
 
         objs = meta["cls_indexes"].flatten().astype(np.int32)
         mask_depth = depth != 0
 
         # random object with enough valid pixels (dataset.py:141-147)
-        order = self.rng.permutation(len(objs))
+        order = rng.permutation(len(objs))
         pick = None
         for k in order:
             mask_label = label == objs[k]
@@ -154,7 +164,7 @@ class YCBDataset:
         mask = mask_label & mask_depth
 
         if is_syn:  # real background behind the render (dataset.py:155-159)
-            back_frame = self.real[self.rng.integers(len(self.real))]
+            back_frame = self.real[rng.integers(len(self.real))]
             back = self.cache.load(self._frame_paths(back_frame)[0])[..., :3]
             rgb = np.where(mask_back[..., None], back, rgb)
 
@@ -162,7 +172,7 @@ class YCBDataset:
             rgb = np.where(mask_front[..., None], rgb, front)
 
         if is_syn:
-            rgb = gaussian_pixel_noise(rgb, self.rng, 7.0)
+            rgb = gaussian_pixel_noise(rgb, rng, 7.0)
 
         bbox = bbox_from_mask(mask_label, largest_component=False)
         if bbox is None:
@@ -176,20 +186,15 @@ class YCBDataset:
         cam = self._intrinsics(frame)
         cam_scale = float(meta["factor_depth"].flatten()[0])
 
-        add_t = (translation_noise(self.rng, self.noise_trans)
+        add_t = (translation_noise(rng, self.noise_trans)
                  if self.add_noise else None)
-        rgb_transform = ((lambda crop: color_jitter(crop, self.rng))
+        rgb_transform = ((lambda crop: color_jitter(crop, rng))
                          if self.add_noise else None)
 
         model = subsample_model_points(self.models[obj_id], self.num_mesh,
-                                       self.rng)
+                                       rng)
         target = model @ R_gt.T + t_gt
-
-        def point_fn(rows, cols):
-            z = depth[rows, cols].astype(np.float32) / cam_scale
-            x3 = (cols.astype(np.float32) - cam.cx) * z / cam.fx
-            y3 = (rows.astype(np.float32) - cam.cy) * z / cam.fy
-            return np.stack([x3, y3, z], -1)
+        point_fn = pinhole_point_fn(depth, cam, cam_scale)
 
         return assemble_sample(
             rgb=rgb, mask=mask, bbox=bbox, point_fn=point_fn,
@@ -197,7 +202,7 @@ class YCBDataset:
             obj_idx=obj_id - 1,  # 0-based class (dataset.py:232)
             sym=(obj_id - 1) in YCB_SYM,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=self.rng, add_t=add_t, rgb_transform=rgb_transform,
+            rng=rng, add_t=add_t, rgb_transform=rgb_transform,
         )
 
 
@@ -262,6 +267,7 @@ class YCBPoseCNNEvalDataset:
             mask = (label == itemid) & (depth != 0)
 
             model = subsample_model_points(self.models[itemid], 500, self.rng)
+            point_fn = pinhole_point_fn(depth, cam, cam_scale)
             # gt pose for metric (evaluate_poses_keyframe.m pairing by class)
             which = np.flatnonzero(gt_ids == itemid)
             if which.size:
@@ -270,12 +276,6 @@ class YCBPoseCNNEvalDataset:
                     pose[:, 3].astype(np.float64)
             else:
                 target = model  # false positive: no gt — distance vs itself
-
-            def point_fn(rows, cols, depth=depth):
-                z = depth[rows, cols].astype(np.float32) / cam_scale
-                x3 = (cols.astype(np.float32) - cam.cx) * z / cam.fx
-                y3 = (rows.astype(np.float32) - cam.cy) * z / cam.fy
-                return np.stack([x3, y3, z], -1)
 
             sample = assemble_sample(
                 rgb=rgb, mask=mask, bbox=(rmin, rmax, cmin, cmax),

@@ -62,42 +62,11 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     ``nn.Upsample(mode='bilinear')`` in the PSP pyramid / decoder
     (``lib/pspnet.py:22,31``); exact corner alignment is a training-time detail
     with no capability impact since we train from scratch."""
-    if out_hw == (2 * x.shape[-3], 2 * x.shape[-2]):
-        return upsample2x_bilinear(x)
+    # NOTE: a hand-fused shift+FMA+interleave formulation of the 2x case was
+    # measured ~1.7x SLOWER than jax.image.resize's gather lowering on TPU
+    # v5e (layout-hostile stack/reshape) — keep the library resize.
     shape = x.shape[:-3] + (out_hw[0], out_hw[1], x.shape[-1])
     return jax.image.resize(x, shape, method="bilinear")
-
-
-def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Exact 2x half-pixel bilinear upsample along one axis, expressed as
-    edge-clamped shifts + FMAs + interleave — pure elementwise ops XLA fuses
-    into one pass, instead of the gather lowering of ``jax.image.resize``
-    (the decoder resizes are HBM-bound; docs/PERF.md). Output row 2k is
-    0.25*x[k-1] + 0.75*x[k] (edge-clamped), row 2k+1 is
-    0.75*x[k] + 0.25*x[k+1] — identical to resize's half-pixel sampling."""
-    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
-                                axis=axis)
-    prev = jnp.concatenate(
-        [first, jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
-        axis=axis)
-    nxt = jnp.concatenate(
-        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), last],
-        axis=axis)
-    quarter = jnp.asarray(0.25, x.dtype)
-    three_q = jnp.asarray(0.75, x.dtype)
-    even = quarter * prev + three_q * x
-    odd = three_q * x + quarter * nxt
-    stacked = jnp.stack([even, odd], axis=axis + 1)
-    new_shape = list(x.shape)
-    new_shape[axis] *= 2
-    return stacked.reshape(new_shape)
-
-
-def upsample2x_bilinear(x: jax.Array) -> jax.Array:
-    """(…, H, W, C) -> (…, 2H, 2W, C), exactly equal to
-    ``jax.image.resize(..., 'bilinear')`` for the 2x case."""
-    return _upsample2x_axis(_upsample2x_axis(x, x.ndim - 3), x.ndim - 2)
 
 
 def max_pool_argmax(x: jax.Array, window: int = 2, stride: int = 2):

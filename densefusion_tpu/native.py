@@ -2,9 +2,12 @@
 
 Auto-builds ``runtime/libdfnative.so`` with g++ on first import if missing;
 every entry point has a numpy fallback so the framework degrades gracefully
-where no compiler exists. The data readers route their per-sample hot loop
-(choose sampling, back-projection, normalize+resize, choose remap) through
-here (see ``data/common.py``).
+where no compiler exists. ``data/common.py`` routes back-projection,
+fused normalize+resize, and choose-index remap through here;
+``choose_pixels`` (reservoir sampling) is an available alternative to the
+numpy path but is NOT wired in by default — its RNG stream differs from the
+datasets' per-sample generators, which would make sample content depend on
+native availability.
 """
 
 from __future__ import annotations

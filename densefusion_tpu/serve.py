@@ -61,7 +61,7 @@ class PoseEstimator:
                         crop_size=crop_size)
         state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                    dummy)
-        state, _, _ = load_checkpoint(path, state)
+        state, _, _ = load_checkpoint(path, state, restore_opt=False)
         return cls(posenet, refiner, state.params_pose, state.params_refine,
                    num_points=num_points, crop_size=crop_size,
                    refine_iters=refine_iters, **kwargs)

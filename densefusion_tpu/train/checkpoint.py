@@ -6,6 +6,13 @@ Replaces the reference's bare ``torch.save(state_dict())`` flavors
 current/best policy, but a resume continues mid-epoch with identical data
 order (SURVEY.md §5.3-5.4). Format: flax msgpack for the pytree + JSON
 sidecars (no pickle, no framework lock-in).
+
+The optimizer-state STRUCTURE depends on the curriculum phase (phase 2
+optimizes the refiner; ``grad_accum`` wraps Adam in MultiSteps), so loading
+restores field-by-field: callers that care about the optimizer read the
+curriculum first (:func:`peek_curriculum`) and build a matching template;
+consumers that only need parameters (eval CLIs, serving) pass
+``restore_opt=False`` and load any checkpoint regardless of phase.
 """
 
 from __future__ import annotations
@@ -38,16 +45,48 @@ def save_checkpoint(path: str, state: TrainState, curriculum: Curriculum,
     os.replace(path + ".tmp", path)
 
 
-def load_checkpoint(path: str, state_template: TrainState):
-    """Restore (state, curriculum, config_json|None). ``state_template`` must
-    be a freshly-initialized state of identical structure."""
-    template = state_template.replace(
-        rng=jax.random.key_data(state_template.rng))
-    with open(os.path.join(path, "state.msgpack"), "rb") as f:
-        state = serialization.from_bytes(template, f.read())
-    state = state.replace(rng=jax.random.wrap_key_data(state.rng))
+def peek_curriculum(path: str) -> Curriculum:
+    """Read a checkpoint's curriculum without touching the array state —
+    used to build a phase-matching optimizer/template before loading."""
     with open(os.path.join(path, "curriculum.json")) as f:
-        curriculum = Curriculum.from_dict(json.load(f))
+        return Curriculum.from_dict(json.load(f))
+
+
+def load_checkpoint(path: str, state_template: TrainState,
+                    restore_opt: bool = True):
+    """Restore (state, curriculum, config_json|None).
+
+    ``state_template`` provides the pytree structures. Parameters/step/rng
+    always restore; the optimizer state restores only with
+    ``restore_opt=True`` and must then match the template's structure (build
+    it for the checkpoint's phase via :func:`peek_curriculum` — a mismatch
+    raises with a pointer to that instead of a bare flax error).
+    """
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    def restore(template, key):
+        return serialization.from_state_dict(template, raw[key], name=key)
+
+    opt_state = state_template.opt_state
+    if restore_opt:
+        try:
+            opt_state = restore(state_template.opt_state, "opt_state")
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"optimizer state in {path!r} does not match the template "
+                f"(checkpoint phase/grad_accum differs — build the template "
+                f"with peek_curriculum(), or pass restore_opt=False if you "
+                f"only need parameters): {e}") from e
+    state = state_template.replace(
+        step=restore(state_template.step, "step"),
+        params_pose=restore(state_template.params_pose, "params_pose"),
+        params_refine=restore(state_template.params_refine, "params_refine"),
+        opt_state=opt_state,
+        rng=jax.random.wrap_key_data(
+            restore(jax.random.key_data(state_template.rng), "rng")),
+    )
+    curriculum = peek_curriculum(path)
     cfg_path = os.path.join(path, "config.json")
     config_json = None
     if os.path.exists(cfg_path):

@@ -29,7 +29,9 @@ from densefusion_tpu.train.state import (
 from densefusion_tpu.train.steps import (
     make_pose_train_step, make_refine_train_step, make_eval_step,
 )
-from densefusion_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from densefusion_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint, peek_curriculum,
+)
 from densefusion_tpu.utils.config import RunConfig
 from densefusion_tpu.utils.logging import setup_logger, MetricsWriter
 
@@ -76,17 +78,22 @@ class Trainer:
 
     def setup(self, resume: str | None = None) -> None:
         cfg = self.cfg
+        if resume:
+            # read the curriculum FIRST so the optimizer template matches the
+            # checkpoint's phase (refiner params + possibly MultiSteps state)
+            self.curriculum = peek_curriculum(resume)
         self._build_data(refine=self.curriculum.refine_started)
         sample = next(iter(self.train_loader.epoch(0)))
         rng = jax.random.key(cfg.seed)
         self.state = create_train_state(self.posenet, self.refiner, cfg, rng,
                                         sample)
+        # build the phase-appropriate optimizer and matching opt_state
+        self._rebuild_steps(reset_opt=True)
         if resume:
-            self.state, self.curriculum, _ = load_checkpoint(resume, self.state)
+            self.state, self.curriculum, _ = load_checkpoint(
+                resume, self.state, restore_opt=True)
             self.logger.info(f"resumed from {resume} at epoch "
                              f"{self.curriculum.epoch}")
-            self._build_data(refine=self.curriculum.refine_started)
-        self._rebuild_steps(reset_opt=resume is None)
 
     def _build_data(self, refine: bool) -> None:
         cfg = self.cfg
@@ -138,8 +145,12 @@ class Trainer:
         # every step on the RTT); we only materialize at log/epoch points
         dis_sum = None
         count = 0
-        for rep in range(cfg.repeat_epoch):
-            start = cur.batch_in_epoch if rep == 0 else 0
+        # resume exactly where the checkpoint left off: (repetition, batch)
+        first_rep = cur.rep_in_epoch
+        for rep in range(first_rep, cfg.repeat_epoch):
+            cur.rep_in_epoch = rep
+            start = cur.batch_in_epoch if rep == first_rep else 0
+            cur.batch_in_epoch = start
             it = PrefetchIterator(
                 self.train_loader.epoch(cur.epoch * cfg.repeat_epoch + rep,
                                         start_batch=start))
@@ -158,6 +169,7 @@ class Trainer:
                 if count % cfg.checkpoint_every_steps == 0:
                     self._save("current")
             cur.batch_in_epoch = 0
+        cur.rep_in_epoch = 0
         avg = float(dis_sum) / count if count else 0.0
         self.metrics.write(kind="train_epoch", epoch=cur.epoch, avg_dis=avg,
                            seconds=time.time() - t0, phase=self._phase())
@@ -190,9 +202,13 @@ class Trainer:
     # -- curriculum -------------------------------------------------------
 
     def run(self, max_epochs: int | None = None) -> None:
+        """Train until epoch cfg.nepoch (a TOTAL bound, like the reference's
+        ``range(start_epoch, nepoch)`` — resuming does not extend the run);
+        ``max_epochs`` optionally caps ADDITIONAL epochs (tests/short runs)."""
         cfg, cur = self.cfg, self.curriculum
-        end_epoch = cur.epoch + (max_epochs if max_epochs is not None
-                                 else cfg.nepoch)
+        end_epoch = cfg.nepoch + 1
+        if max_epochs is not None:
+            end_epoch = min(end_epoch, cur.epoch + max_epochs)
         while cur.epoch < end_epoch:
             self.train_epoch()
             test_dis = self.test_epoch()

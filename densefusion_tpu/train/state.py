@@ -33,6 +33,7 @@ class Curriculum:
     """Host-side curriculum flags (``tools/train.py:86-97,219-251``)."""
 
     epoch: int = 1
+    rep_in_epoch: int = 0           # repeat_epoch repetition cursor
     batch_in_epoch: int = 0         # data cursor for mid-epoch resume
     best_test: float = float("inf")
     lr: float = 1e-4

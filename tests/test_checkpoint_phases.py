@@ -1,0 +1,76 @@
+"""Checkpoint phase-structure regressions: refine-phase and grad-accum
+checkpoints must load (via a phase-matched template or restore_opt=False) —
+previously any non-phase-1 checkpoint crashed every consumer."""
+
+import numpy as np
+import jax
+import optax
+import pytest
+
+from densefusion_tpu.data import PoseSample, collate
+from densefusion_tpu.models import PoseNet, PoseRefineNet
+from densefusion_tpu.train import (
+    create_train_state, save_checkpoint, load_checkpoint,
+)
+from densefusion_tpu.train.checkpoint import peek_curriculum
+from densefusion_tpu.train.state import Curriculum, make_optimizer
+from densefusion_tpu.utils.config import RunConfig
+
+
+@pytest.fixture(scope="module")
+def base():
+    cfg = RunConfig(num_objects=2, num_points=16, crop_size=32)
+    batch = collate([PoseSample.invalid(16, 16, 32) for _ in range(2)])
+    posenet, refiner = PoseNet(num_obj=2), PoseRefineNet(num_obj=2)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch)
+    return cfg, state
+
+
+def test_refine_phase_checkpoint_roundtrip(base, tmp_path):
+    cfg, state = base
+    tx = make_optimizer(cfg.lr)
+    refine_state = state.replace(opt_state=tx.init(state.params_refine))
+    cur = Curriculum(refine_started=True, epoch=7)
+    path = str(tmp_path / "ck_refine")
+    save_checkpoint(path, refine_state, cur, cfg)
+
+    # phase-matched template restores the optimizer exactly
+    assert peek_curriculum(path).refine_started
+    template = state.replace(opt_state=tx.init(state.params_refine))
+    loaded, cur2, _ = load_checkpoint(path, template)
+    assert cur2.epoch == 7 and cur2.refine_started
+    for a, b in zip(jax.tree.leaves(refine_state.opt_state),
+                    jax.tree.leaves(loaded.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_refine_checkpoint_params_only_load(base, tmp_path):
+    """Eval/serving consumers load ANY phase with restore_opt=False; a
+    phase-1 template with restore_opt=True raises a helpful error."""
+    cfg, state = base
+    tx = make_optimizer(cfg.lr)
+    refine_state = state.replace(opt_state=tx.init(state.params_refine))
+    path = str(tmp_path / "ck_refine2")
+    save_checkpoint(path, refine_state, Curriculum(refine_started=True), cfg)
+
+    loaded, _, _ = load_checkpoint(path, state, restore_opt=False)
+    for a, b in zip(jax.tree.leaves(refine_state.params_refine),
+                    jax.tree.leaves(loaded.params_refine)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="peek_curriculum"):
+        load_checkpoint(path, state, restore_opt=True)
+
+
+def test_grad_accum_checkpoint_roundtrip(base, tmp_path):
+    cfg, state = base
+    tx = optax.MultiSteps(make_optimizer(cfg.lr), every_k_schedule=4)
+    ms_state = state.replace(opt_state=tx.init(state.params_pose))
+    path = str(tmp_path / "ck_ms")
+    save_checkpoint(path, ms_state, Curriculum(), cfg)
+    template = state.replace(opt_state=tx.init(state.params_pose))
+    loaded, _, _ = load_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(ms_state.opt_state),
+                    jax.tree.leaves(loaded.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -163,10 +163,3 @@ def test_resnet_variants_compile(variant, out_ch):
     f4, f3 = model.apply(params, x)
     assert f4.shape == (1, 4, 4, out_ch)
 
-
-def test_upsample2x_matches_jax_resize(rng):
-    from densefusion_tpu.models.layers import upsample2x_bilinear
-    x = jnp.asarray(rng.standard_normal((2, 7, 9, 5)), jnp.float32)
-    got = upsample2x_bilinear(x)
-    want = jax.image.resize(x, (2, 14, 18, 5), method="bilinear")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
