@@ -83,22 +83,40 @@ def _splat_render(points_cam_mm: np.ndarray, colors: np.ndarray,
     return rgb, np.round(depth).astype(np.uint16), mask
 
 
+def _random_background(rng, img_h, img_w):
+    """Smooth random gradient + noise background so models cannot key on a
+    constant backdrop (domain-randomization-lite)."""
+    corners = rng.uniform(40, 200, (2, 2, 3))
+    ys = np.linspace(0, 1, img_h)[:, None, None]
+    xs = np.linspace(0, 1, img_w)[None, :, None]
+    top = corners[0, 0] * (1 - xs) + corners[0, 1] * xs
+    bot = corners[1, 0] * (1 - xs) + corners[1, 1] * xs
+    bg = top * (1 - ys) + bot * ys
+    bg = bg + rng.normal(0, 6.0, bg.shape)
+    return np.clip(bg, 0, 255).astype(np.uint8)
+
+
 def generate_linemod_style_dataset(
     root: str, objlist=(1,), n_train: int = 8, n_test: int = 20,
     n_model_points: int = 4000, img_h: int = 480, img_w: int = 640,
-    seed: int = 0,
+    seed: int = 0, realism: bool = False,
 ) -> None:
     """Write a miniature Linemod_preprocessed tree under ``root``.
 
     Note the reader subsamples test lists 1/10, so ``n_test=20`` yields 2
     usable eval frames. Ground truth is exact (no mask/pose noise), making
     metric expectations sharp in tests.
+
+    ``realism=True`` adds domain randomization (random gradient backgrounds,
+    per-frame illumination scaling, a distractor blob) so training runs can
+    generalize to held-out views rather than memorizing the backdrop.
     """
     import yaml
     rng = np.random.default_rng(seed)
     cam = LINEMOD_CAM
     os.makedirs(os.path.join(root, "models"), exist_ok=True)
     models_info = {}
+    distractor_mm = make_asymmetric_model(1500, scale_mm=45.0, seed=seed + 777)
 
     for obj in objlist:
         model_mm = make_asymmetric_model(n_model_points, seed=seed + obj)
@@ -136,7 +154,39 @@ def generate_linemod_style_dataset(
             t = np.array([rng.uniform(-60, 60), rng.uniform(-40, 40),
                           rng.uniform(600, 900)])
             pts_cam = model_mm @ R.T + t
-            rgb, depth, mask = _splat_render(pts_cam, colors, img_h, img_w, cam)
+            frame_colors = colors
+            if realism:
+                # per-frame illumination scale + slight color cast
+                illum = rng.uniform(0.6, 1.3) * rng.uniform(0.85, 1.15, 3)
+                frame_colors = np.clip(colors * illum, 0, 255).astype(np.uint8)
+            rgb, depth, mask = _splat_render(pts_cam, frame_colors, img_h,
+                                             img_w, cam)
+            if realism:
+                # composite over a random background; drop in a distractor
+                # object near the target (never occluding its mask pixels)
+                bg = _random_background(rng, img_h, img_w)
+                rgb = np.where(mask[..., None], rgb, bg)
+                qd = rng.standard_normal(4)
+                qd /= np.linalg.norm(qd)
+                wd, xd, yd, zd = qd
+                Rd = np.array([
+                    [1 - 2 * (yd * yd + zd * zd), 2 * (xd * yd - wd * zd),
+                     2 * (wd * yd + xd * zd)],
+                    [2 * (xd * yd + wd * zd), 1 - 2 * (xd * xd + zd * zd),
+                     2 * (yd * zd - wd * xd)],
+                    [2 * (xd * zd - wd * yd), 2 * (wd * xd + yd * zd),
+                     1 - 2 * (xd * xd + yd * yd)]])
+                td = t + np.array([rng.uniform(120, 220) * rng.choice([-1, 1]),
+                                   rng.uniform(-60, 60),
+                                   rng.uniform(50, 150)])
+                d_pts = distractor_mm @ Rd.T + td
+                d_cols = np.full((len(d_pts), 3),
+                                 rng.integers(60, 200, 3), np.uint8)
+                d_rgb, d_depth, d_mask = _splat_render(d_pts, d_cols, img_h,
+                                                       img_w, cam)
+                paint = d_mask & ~mask  # behind-target never steals pixels
+                rgb[paint] = d_rgb[paint]
+                depth = np.where(paint, d_depth, depth)
 
             Image.fromarray(rgb).save(
                 os.path.join(base, "rgb", f"{frame:04d}.png"))

@@ -27,6 +27,9 @@ def main():
     p.add_argument("--mesh", type=int, default=256)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--realism", action="store_true",
+                   help="domain-randomized scenes (backgrounds, lighting, "
+                        "distractors) for generalization instead of overfit")
     p.add_argument("--out", default="")
     args = p.parse_args()
 
@@ -49,7 +52,7 @@ def main():
 
     root = tempfile.mkdtemp(prefix="lm_overfit_")
     generate_linemod_style_dataset(root, objlist=(1,), n_train=args.frames,
-                                   n_test=20, seed=1)
+                                   n_test=20, seed=1, realism=args.realism)
     ds = LineModDataset(root, mode="train", num_points=args.points,
                         crop_size=args.crop, num_mesh_points=args.mesh,
                         objlist=[1], add_noise=True, noise_trans=0.005)
