@@ -170,3 +170,18 @@ def test_resize_bilinear_np_downscale_sane(rng):
     out = resize_bilinear_np(img, 5, 9)
     assert out.shape == (5, 9, 3)
     np.testing.assert_allclose(out, 7.0, rtol=1e-6)
+
+
+def test_realism_mode_keeps_exact_geometry(tmp_path):
+    """Domain-randomized scenes (backgrounds/illumination/distractors) must
+    not perturb the pose ground truth: cloud still lies on the posed model."""
+    root = str(tmp_path / "lm_real")
+    generate_linemod_style_dataset(root, objlist=(1,), n_train=2, n_test=10,
+                                   seed=12, realism=True)
+    ds = LineModDataset(root, mode="train", num_points=300, crop_size=96,
+                        objlist=[1], add_noise=False)
+    s = ds[0]
+    d = np.linalg.norm(s.points[:, None] - s.target[None], axis=-1).min(1)
+    assert d.mean() < 0.008
+    # background is not a constant: normalized crop has spatial variance
+    assert float(s.img.std()) > 0.2
