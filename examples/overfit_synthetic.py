@@ -21,6 +21,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--test_frames", type=int, default=2,
+                   help="held-out eval frames (x10 rendered; reader "
+                        "subsamples 1/10)")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--crop", type=int, default=96)
     p.add_argument("--points", type=int, default=256)
@@ -52,7 +55,8 @@ def main():
 
     root = tempfile.mkdtemp(prefix="lm_overfit_")
     generate_linemod_style_dataset(root, objlist=(1,), n_train=args.frames,
-                                   n_test=20, seed=1, realism=args.realism)
+                                   n_test=args.test_frames * 10, seed=1,
+                                   realism=args.realism)
     ds = LineModDataset(root, mode="train", num_points=args.points,
                         crop_size=args.crop, num_mesh_points=args.mesh,
                         objlist=[1], add_noise=True, noise_trans=0.005)
@@ -102,6 +106,7 @@ def main():
         dists += [float(x) for x, v in zip(np.asarray(d), np.asarray(valid))
                   if v]
     result = {
+        "n_test": len(dists),
         "final_train_dis": history[-1] if history else None,
         "test_dis": dists,
         "test_mean_dis": float(np.mean(dists)),
