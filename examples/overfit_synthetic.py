@@ -29,6 +29,9 @@ def main():
     p.add_argument("--points", type=int, default=256)
     p.add_argument("--mesh", type=int, default=256)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--refine_steps", type=int, default=0,
+                   help="after pose training, train the refiner this many "
+                        "steps and evaluate with 2 refinement iterations")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--realism", action="store_true",
                    help="domain-randomized scenes (backgrounds, lighting, "
@@ -48,7 +51,7 @@ def main():
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.train import create_train_state
     from densefusion_tpu.train.steps import (
-        make_pose_train_step, make_eval_step,
+        make_pose_train_step, make_refine_train_step, make_eval_step,
     )
     from densefusion_tpu.train.state import make_optimizer
     from densefusion_tpu.utils.config import RunConfig
@@ -100,11 +103,43 @@ def main():
         epoch += 1
 
     # eval on held-out frames
-    dists = []
-    for batch in test_loader.epoch(0):
-        d, valid = eval_fn(state.params_pose, state.params_refine, batch, w)
-        dists += [float(x) for x, v in zip(np.asarray(d), np.asarray(valid))
-                  if v]
+    def run_eval(fn):
+        out = []
+        for batch in test_loader.epoch(0):
+            d, valid = fn(state.params_pose, state.params_refine, batch, w)
+            out += [float(x) for x, v in zip(np.asarray(d), np.asarray(valid))
+                    if v]
+        return out
+
+    dists = run_eval(eval_fn)
+
+    refine_result = None
+    if args.refine_steps:
+        refine_step = make_refine_train_step(posenet, refiner, tx,
+                                             refine_iters=2,
+                                             knn_backend="xla")
+        state = state.replace(opt_state=tx.init(state.params_refine))
+        done = 0
+        while done < args.refine_steps:
+            for batch in loader.epoch(1_000_000 + epoch):
+                state, m = refine_step(state, batch, w)
+                done += 1
+                if done % 100 == 0:
+                    print(f"refine step {done} dis {float(m['dis']):.4f} "
+                          f"({time.time() - t0:.0f}s)", flush=True)
+                if done >= args.refine_steps:
+                    break
+            epoch += 1
+        refine_eval = make_eval_step(posenet, refiner, 2, use_adds=False,
+                                     knn_backend="xla")
+        rd = run_eval(refine_eval)
+        refine_result = {
+            "test_dis": rd,
+            "test_mean_dis": float(np.mean(rd)),
+            "success_rate_0.1d": float(np.mean(
+                [d < diam_threshold for d in rd])),
+        }
+
     result = {
         "n_test": len(dists),
         "final_train_dis": history[-1] if history else None,
@@ -113,6 +148,7 @@ def main():
         "success_rate_0.1d": float(np.mean(
             [d < diam_threshold for d in dists])),
         "diam_threshold": float(diam_threshold),
+        "refined": refine_result,
         "seconds": time.time() - t0,
     }
     print(json.dumps(result, indent=2))
