@@ -45,6 +45,13 @@ def main(argv=None):
     from densefusion_tpu.utils.config import RunConfig
     from densefusion_tpu.utils.logging import setup_logger
 
+    if not os.path.isdir(args.dataset_root):
+        raise SystemExit(
+            f"error: dataset root not found: {args.dataset_root!r} "
+            f"(expected the layout described in docs/DATA.md)")
+    if not os.path.isdir(args.checkpoint):
+        raise SystemExit(
+            f"error: checkpoint directory not found: {args.checkpoint!r}")
     os.makedirs(args.output_dir, exist_ok=True)
     logger = setup_logger(
         "eval_linemod", os.path.join(args.output_dir, "eval_result_logs.txt"))

@@ -66,6 +66,12 @@ def main(argv=None):
         log_dir=f"{args.log_dir}/{args.dataset}",
     )
 
+    import os
+    if not os.path.isdir(args.dataset_root):
+        raise SystemExit(
+            f"error: dataset root not found: {args.dataset_root!r} "
+            f"(expected the layout described in docs/DATA.md)")
+
     shard_batch = None
     if args.data_parallel:
         from densefusion_tpu.parallel import (
