@@ -78,3 +78,30 @@ def test_estimate_batch(estimator):
     q, t, c, valid = est.estimate_batch(samples)
     assert q.shape == (2, 4) and t.shape == (2, 3)
     assert valid.all()
+
+
+def test_from_checkpoint_refine_phase(tmp_path, estimator):
+    """Serving must load refine-phase checkpoints (params-only restore)."""
+    from densefusion_tpu.train.state import make_optimizer
+    est, root = estimator
+    ds = LineModDataset(root, "train", num_points=64, crop_size=64,
+                        num_mesh_points=64, objlist=[1], add_noise=False)
+    batch = collate([ds[0]])
+    posenet, refiner = PoseNet(num_obj=1), PoseRefineNet(num_obj=1)
+    cfg = RunConfig(num_objects=1, num_points=64, crop_size=64)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(1),
+                               batch)
+    tx = make_optimizer(cfg.lr)
+    state = state.replace(opt_state=tx.init(state.params_refine))
+    ckpt = str(tmp_path / "refine_ck")
+    save_checkpoint(ckpt, state, Curriculum(refine_started=True), cfg)
+    est2 = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
+                                         crop_size=64, refine_iters=2)
+    base = os.path.join(root, "data", "01")
+    rgb = _load_image(os.path.join(base, "rgb", "0000.png"))
+    depth = _load_image(os.path.join(base, "depth", "0000.png"))
+    mask = _load_image(os.path.join(base, "mask", "0000.png"))[..., 0] == 255
+    out = est2.estimate(rgb, depth, mask, 0, LINEMOD_CAM, unit_scale=1e-3)
+    assert out is not None
+    q, t, c = out
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-4)
