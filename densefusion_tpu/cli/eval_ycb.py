@@ -1,11 +1,18 @@
 """YCB-Video keyframe evaluation CLI.
 
 Capability parity with ``tools/eval_ycb.py`` + the MATLAB toolbox
-(``replace_ycb_toolbox/*.m``), fully in-repo: runs PoseNet + 2 refinement
-iterations on every PoseCNN detection over the 2949 keyframes, writes the
-same per-frame ``.mat`` pose results (``Densefusion_wo_refine_result`` /
-``Densefusion_iterative_result``), and computes ADD-S AUC, ADD AUC, and <2cm
-directly (VOCap semantics).
+(``replace_ycb_toolbox/*.m``), fully in-repo, in two stages:
+
+1. **Inference** (``tools/eval_ycb.py:136-240``): PoseNet + refinement on
+   every PoseCNN detection over the keyframes, writing the same per-frame
+   ``.mat`` pose results (``Densefusion_wo_refine_result`` /
+   ``Densefusion_iterative_result``).
+2. **Scoring** (``evaluate_poses_keyframe.m`` / ``plot_accuracy_keyframe.m``):
+   iterate the frame's ground-truth objects, match detections by class,
+   score misses as ``inf``, full model clouds, toolbox ``adi`` ADD-S
+   direction, rotation/translation errors, VOCap AUC + <2cm — see
+   ``densefusion_tpu.eval.ycb_toolbox``. Stage 2 is also available standalone
+   as ``cli.score_ycb`` for scoring existing result directories.
 
 Example::
 
@@ -32,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop_size", type=int, default=192)
     p.add_argument("--num_keyframes", type=int, default=2949)
     p.add_argument("--output_dir", default="experiments/eval_result/ycb")
+    p.add_argument("--plots", action="store_true",
+                   help="write per-class accuracy-threshold figures")
     return p
 
 
@@ -44,9 +53,9 @@ def main(argv=None):
     from densefusion_tpu.data import collate
     from densefusion_tpu.data.ycb import YCBPoseCNNEvalDataset
     from densefusion_tpu.models import PoseNet, PoseRefineNet
-    from densefusion_tpu.eval import (
-        InferencePipeline, pose_distances, vocap_auc,
-        accuracy_under_threshold,
+    from densefusion_tpu.eval import InferencePipeline
+    from densefusion_tpu.eval.ycb_toolbox import (
+        score_keyframes, summarize, plot_accuracy,
     )
     from densefusion_tpu.train import create_train_state, load_checkpoint
     from densefusion_tpu.utils.config import RunConfig
@@ -72,32 +81,24 @@ def main(argv=None):
     pipe0 = InferencePipeline(posenet, refiner, refine_iters=0)
     pipe = InferencePipeline(posenet, refiner,
                              refine_iters=args.iterations)
-    dist_fn = jax.jit(pose_distances)
-    adds_fn = jax.jit(lambda m, q, t, tgt: pose_distances(
-        m, q, t, tgt, sym=np.ones(1, bool)))
 
+    # -- stage 1: pose inference per PoseCNN detection ---------------------
     state = None
-    dists_sys, dists_non, cls_ids = [], [], []
     for frame_idx in range(len(ds)):
-        dets = ds.detections(frame_idx)
         wo_poses, it_poses = [], []
-        for sample, _, itemid in dets:
+        for sample, _, itemid in ds.detections(frame_idx):
             batch = collate([sample])
             if state is None:
                 state = create_train_state(posenet, refiner, cfg,
                                            jax.random.key(0), batch)
                 state, _, _ = load_checkpoint(args.checkpoint, state,
-                                  restore_opt=False)
+                                              restore_opt=False)
             if not sample.valid:
-                # lost detection -> zero pose (tools/eval_ycb.py:234-237);
-                # the toolbox still SCORES these (a zero pose has a huge
-                # distance that counts as a failure inside VOCap), so record
-                # inf rather than dropping them — dropping would inflate AUC
+                # lost detection -> zero pose, matching the reference's
+                # ZeroDivisionError fallback (tools/eval_ycb.py:234-237);
+                # the scorer treats a zero pose as a huge-distance failure
                 wo_poses.append([0.0] * 7)
                 it_poses.append([0.0] * 7)
-                dists_sys.append(np.inf)
-                dists_non.append(np.inf)
-                cls_ids.append(itemid)
                 continue
             inputs = (batch.img, batch.points, batch.choose, batch.obj_idx)
             q0, t0, _ = pipe0(state.params_pose, state.params_refine, *inputs)
@@ -107,15 +108,6 @@ def main(argv=None):
             it_poses.append(np.concatenate(
                 [np.asarray(q)[0], np.asarray(t)[0]]).tolist())
 
-            d_adds = float(np.asarray(adds_fn(
-                batch.model_points, q, t, batch.target))[0])
-            d_add = float(np.asarray(dist_fn(
-                batch.model_points, q, t, batch.target,
-                np.zeros(1, bool)))[0])
-            dists_sys.append(d_adds)
-            dists_non.append(d_add)
-            cls_ids.append(itemid)
-
         scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
                      {"poses": wo_poses})
         scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
@@ -123,29 +115,29 @@ def main(argv=None):
         if frame_idx % 100 == 0:
             logger.info(f"Finish No.{frame_idx} keyframe")
 
-    dists_sys = np.asarray(dists_sys)
-    dists_non = np.asarray(dists_non)
-    cls_ids = np.asarray(cls_ids)
-    summary = {
-        "adds_auc": vocap_auc(dists_sys) * 100,
-        "add_auc": vocap_auc(dists_non) * 100,
-        "adds_under_2cm": accuracy_under_threshold(dists_sys) * 100,
-        "per_class": {},
-    }
-    for cid, cls in enumerate(ds.classes, start=1):
-        sel = cls_ids == cid
-        if sel.any():
-            summary["per_class"][cls] = {
-                "adds_auc": vocap_auc(dists_sys[sel]) * 100,
-                "add_auc": vocap_auc(dists_non[sel]) * 100,
-                "adds_under_2cm":
-                    accuracy_under_threshold(dists_sys[sel]) * 100,
-            }
+    # -- stage 2: toolbox-exact scoring ------------------------------------
+    results = score_keyframes(
+        args.dataset_root, args.posecnn_results,
+        {"per-pixel": wo_dir, "iterative": it_dir},
+        num_keyframes=args.num_keyframes)
+    results.save_mat(os.path.join(args.output_dir, "results_keyframe.mat"))
+    table = summarize(results, ds.classes)
+    if args.plots:
+        plot_accuracy(results, ds.classes,
+                      os.path.join(args.output_dir, "plots"))
+
+    # convenience top-level keys = the refined method over all gt objects
+    summary = {**{k: table["iterative"]["all"][k] for k in
+                  ("adds_auc", "add_auc", "adds_under_2cm")},
+               "methods": table}
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    logger.info(f"ADD-S AUC: {summary['adds_auc']:.2f}  "
-                f"ADD AUC: {summary['add_auc']:.2f}  "
-                f"<2cm: {summary['adds_under_2cm']:.2f}")
+    for method in results.methods:
+        row = table[method]["all"]
+        logger.info(
+            f"{method}: ADD-S AUC {row['adds_auc']:.2f}  "
+            f"ADD AUC {row['add_auc']:.2f}  <2cm {row['adds_under_2cm']:.2f}  "
+            f"detected {row['detected']}/{row['total']}")
     return summary
 
 

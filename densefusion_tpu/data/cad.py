@@ -122,8 +122,11 @@ class CADDataset:
                 base, "train.txt" if mode == "train" else "test.txt")
             with open(list_file) as f:
                 frames = [int(ln.strip()) for ln in f if ln.strip()]
-            if mode in ("test", "eval"):
-                frames = frames[::10]
+            if mode == "test":
+                # only 'test' subsamples, with the same running-counter
+                # semantics as LineMOD (customCAD/dataset.py:43) — eval
+                # iterates the full list
+                frames = frames[9::10]
             self.items += [(obj, fr) for fr in frames]
 
             self.meta[obj] = {}

@@ -78,8 +78,14 @@ class LineModDataset:
                 "train.txt" if mode == "train" else "test.txt")
             with open(list_file) as f:
                 frames = [ln.strip() for ln in f if ln.strip()]
-            if mode in ("test", "eval"):
-                frames = frames[::10]  # 1/10 test subsample (dataset.py:49-50)
+            if mode == "test":
+                # only mode=='test' subsamples (dataset.py:42-50): the
+                # reference's running ``item_count % 10 == 0`` filter keeps
+                # every 10th line 1-based, and its EOF reads round the counter
+                # up to a multiple of 10 per file — i.e. frames[9::10].
+                # 'eval' (the published success-rate protocol) iterates the
+                # FULL test list.
+                frames = frames[9::10]
             self.items += [(obj, int(fr)) for fr in frames]
             self.meta[obj] = _load_yaml(
                 os.path.join(root, "data", f"{obj:02d}", "gt.yml"))

@@ -268,22 +268,25 @@ class YCBPoseCNNEvalDataset:
 
             model = subsample_model_points(self.models[itemid], 500, self.rng)
             point_fn = pinhole_point_fn(depth, cam, cam_scale)
-            # gt pose for metric (evaluate_poses_keyframe.m pairing by class)
+            # gt pose rides along for in-loop diagnostics; protocol scoring
+            # pairs detections with gt by class in eval/ycb_toolbox.py
+            # (evaluate_poses_keyframe.m:75) using the FULL model cloud
             which = np.flatnonzero(gt_ids == itemid)
             if which.size:
                 pose = meta["poses"][:, :, which[0]]
                 target = model @ pose[:, :3].astype(np.float64).T + \
                     pose[:, 3].astype(np.float64)
             else:
-                target = model  # false positive: no gt — distance vs itself
+                target = model  # false positive: no gt — scorer skips it
 
+            # a false positive with a usable mask still gets a pose estimate
+            # (the reference zeroes poses only on empty masks,
+            # tools/eval_ycb.py:234-237); only unusable masks are invalid
             sample = assemble_sample(
                 rgb=rgb, mask=mask, bbox=(rmin, rmax, cmin, cmax),
                 point_fn=point_fn, model_points=model, target=target,
                 obj_idx=itemid - 1, sym=(itemid - 1) in YCB_SYM,
                 num_points=self.num_points, crop_size=self.crop_size,
                 rng=self.rng)
-            if not bool(sample.valid) or which.size == 0:
-                sample = sample._replace(valid=np.zeros((), bool))
             out.append((sample, frame_idx, itemid))
         return out

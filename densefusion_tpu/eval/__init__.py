@@ -9,12 +9,18 @@ quaternion round-trips of ``tools/eval_ycb.py:205-229`` with one on-device
 """
 
 from densefusion_tpu.eval.metrics import (
-    add_distance, adds_distance, pose_distances, vocap_auc,
-    accuracy_under_threshold, success_rate,
+    add_distance, adds_distance, adi_distance, pose_distances, vocap_auc,
+    accuracy_under_threshold, success_rate, rotation_error_deg,
+    translation_error,
 )
 from densefusion_tpu.eval.pipeline import InferencePipeline
+from densefusion_tpu.eval.ycb_toolbox import (
+    KeyframeResults, score_keyframes, summarize, plot_accuracy,
+)
 
 __all__ = [
-    "add_distance", "adds_distance", "pose_distances", "vocap_auc",
-    "accuracy_under_threshold", "success_rate", "InferencePipeline",
+    "add_distance", "adds_distance", "adi_distance", "pose_distances",
+    "vocap_auc", "accuracy_under_threshold", "success_rate",
+    "rotation_error_deg", "translation_error", "InferencePipeline",
+    "KeyframeResults", "score_keyframes", "summarize", "plot_accuracy",
 ]

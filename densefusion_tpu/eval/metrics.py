@@ -25,10 +25,36 @@ def add_distance(pred_points: jax.Array, gt_points: jax.Array) -> jax.Array:
 
 def adds_distance(pred_points: jax.Array, gt_points: jax.Array,
                   backend: str = "auto") -> jax.Array:
-    """ADD-S: mean distance from each predicted point to its NEAREST gt point
-    (symmetric-object metric, ``tools/eval_linemod.py:123-128``)."""
+    """ADD-S, LineMOD/CUDA-KNN direction: mean distance from each predicted
+    point to its NEAREST gt point (``tools/eval_linemod.py:123-128``)."""
     remapped = adds_remap_targets(pred_points, gt_points, backend=backend)
     return jnp.linalg.norm(pred_points - remapped, axis=-1).mean(axis=-1)
+
+
+def adi_distance(pred_points: jax.Array, gt_points: jax.Array,
+                 backend: str = "auto") -> jax.Array:
+    """ADD-S, YCB-toolbox ``adi`` direction: mean distance from each GT point
+    to its NEAREST predicted point (KD-tree of estimated points queried with
+    gt points, ``evaluate_poses_keyframe.m:176-193``) — the reverse of
+    :func:`adds_distance`. Both directions exist in the reference; YCB scoring
+    uses this one."""
+    remapped = adds_remap_targets(gt_points, pred_points, backend=backend)
+    return jnp.linalg.norm(gt_points - remapped, axis=-1).mean(axis=-1)
+
+
+def rotation_error_deg(R_est: jax.Array, R_gt: jax.Array) -> jax.Array:
+    """Angular error in degrees, ``re`` semantics
+    (``evaluate_poses_keyframe.m:195-207``): arccos((tr(R_est R_gtᵀ) − 1)/2).
+    Batched over leading dims: (..., 3, 3) x 2 -> (...,)."""
+    rel = jnp.einsum("...ij,...kj->...ik", R_est, R_gt)  # R_est @ R_gt^-1
+    cos = 0.5 * (jnp.trace(rel, axis1=-2, axis2=-1) - 1.0)
+    return jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
+
+
+def translation_error(t_est: jax.Array, t_gt: jax.Array) -> jax.Array:
+    """‖t_gt − t_est‖, ``te`` semantics (``evaluate_poses_keyframe.m:209-217``).
+    (..., 3) x 2 -> (...,)."""
+    return jnp.linalg.norm(t_gt - t_est, axis=-1)
 
 
 def pose_distances(model_points: jax.Array, quat: jax.Array, trans: jax.Array,

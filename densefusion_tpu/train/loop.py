@@ -202,9 +202,12 @@ class Trainer:
     # -- curriculum -------------------------------------------------------
 
     def run(self, max_epochs: int | None = None) -> None:
-        """Train until epoch cfg.nepoch (a TOTAL bound, like the reference's
-        ``range(start_epoch, nepoch)`` — resuming does not extend the run);
-        ``max_epochs`` optionally caps ADDITIONAL epochs (tests/short runs)."""
+        """Train epochs 1..cfg.nepoch INCLUSIVE — ``nepoch`` is the number of
+        epochs trained. Intentional delta from the reference's
+        ``range(start_epoch, nepoch)`` (``tools/train.py:131``), which with
+        start_epoch=1 trains nepoch−1 epochs; ``--nepoch 1`` doing nothing
+        would be a footgun. Resuming does not extend the run. ``max_epochs``
+        optionally caps ADDITIONAL epochs (tests/short runs)."""
         cfg, cur = self.cfg, self.curriculum
         end_epoch = cfg.nepoch + 1
         if max_epochs is not None:
