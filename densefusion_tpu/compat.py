@@ -1,0 +1,294 @@
+"""Torch ``.pth`` checkpoint importer.
+
+The reference ships trained models as ``torch.save(model.state_dict())``
+files (``tools/train.py:172-217``, ``download.sh`` →
+``trained_models/{ycb,linemod}/*.pth``). This module converts those state
+dicts into this framework's flax parameter pytrees so reference-trained
+weights run directly on TPU — the only route to numerical parity evidence
+without the real datasets (VERDICT round-1 item 2).
+
+Weight-layout transforms (names per ``lib/network.py:70-206``):
+
+* Conv2d ``(out, in, kh, kw)`` → flax NHWC Conv ``(kh, kw, in, out)``
+* Conv1d k=1 ``(out, in, 1)``  → Dense ``(in, out)`` (every per-point 1×1
+  conv is a Dense here — same math on the MXU)
+* Linear ``(out, in)``         → Dense ``(in, out)``
+* PReLU ``(1,)``               → scalar slope
+
+Head channel order is preserved: torch views ``num_obj*D`` conv channels as
+``(num_obj, D)`` (``lib/network.py:118-120``), matching our
+``reshape(..., num_obj, D)``.
+
+Known behavioral delta (documented, not a layout issue): the reference's
+decoder upsamples with ``align_corners=True`` (``lib/pspnet.py:31``) while we
+use the half-pixel convention, so imported-weight activations differ slightly
+at upsample stages; fusion/head parts are numerically exact (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from densefusion_tpu.models.resnet import RESNET_SPECS, Bottleneck
+
+
+# ---------------------------------------------------------------------------
+# Layout transforms
+# ---------------------------------------------------------------------------
+
+def _conv2d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0)).astype(np.float32)   # OIHW -> HWIO
+
+
+def _conv1d(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w[:, :, 0], (1, 0)).astype(np.float32)
+
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0)).astype(np.float32)
+
+
+def _bias(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w, np.float32)
+
+
+def _prelu(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w, np.float32).reshape(())
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """Load a ``.pth`` state_dict to numpy (CPU, no grad)."""
+    import torch
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Key maps: flax param path (tuple under ["params"]) -> (torch key, transform)
+# ---------------------------------------------------------------------------
+
+def _trunk_map(prefix: str, variant: str) -> dict:
+    block_cls, depths = RESNET_SPECS[variant]
+    convs = ("conv1", "conv2", "conv3") if block_cls is Bottleneck \
+        else ("conv1", "conv2")
+    m = {("trunk", "stem", "kernel"): (f"{prefix}conv1.weight", _conv2d)}
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = f"{prefix}layer{s + 1}.{b}."
+            blk = f"stage{s + 1}_block{b}"
+            for c in convs:
+                m[("trunk", blk, c, "kernel")] = (t + f"{c}.weight", _conv2d)
+            # projection shortcut only exists on channel/stride changes; the
+            # lookup is filtered against the actual flax tree later
+            m[("trunk", blk, "proj", "kernel")] = \
+                (t + "downsample.0.weight", _conv2d)
+    return m
+
+
+def _pspnet_map(prefix: str, variant: str,
+                sizes=(1, 2, 3, 6)) -> dict:
+    """Map for the CNN subtree (``lib/pspnet.py:40-77`` attribute names;
+    ``prefix`` is usually ``cnn.model.module.`` — ``ModifiedResnet`` wraps
+    PSPNet in DataParallel, ``lib/network.py:27-37``)."""
+    m = {(("cnn",) + k): v
+         for k, v in _trunk_map(prefix + "feats.", variant).items()}
+    for i, size in enumerate(sizes):
+        m[("cnn", "psp", f"prior_{size}", "kernel")] = \
+            (f"{prefix}psp.stages.{i}.1.weight", _conv2d)
+    m[("cnn", "psp", "bottleneck", "kernel")] = \
+        (f"{prefix}psp.bottleneck.weight", _conv2d)
+    m[("cnn", "psp", "bottleneck", "bias")] = \
+        (f"{prefix}psp.bottleneck.bias", _bias)
+    for ours, theirs in (("up1", "up_1"), ("up2", "up_2")):
+        m[("cnn", ours, "conv", "kernel")] = \
+            (f"{prefix}{theirs}.conv.1.weight", _conv2d)
+        m[("cnn", ours, "conv", "bias")] = \
+            (f"{prefix}{theirs}.conv.1.bias", _bias)
+        m[("cnn", ours, "prelu", "slope")] = \
+            (f"{prefix}{theirs}.conv.2.weight", _prelu)
+    m[("cnn", "up3_conv", "kernel")] = (f"{prefix}up_3.conv.1.weight", _conv2d)
+    m[("cnn", "up3_conv", "bias")] = (f"{prefix}up_3.conv.1.bias", _bias)
+    m[("cnn", "up3_prelu", "slope")] = (f"{prefix}up_3.conv.2.weight", _prelu)
+    m[("cnn", "final", "kernel")] = (f"{prefix}final.0.weight", _conv2d)
+    m[("cnn", "final", "bias")] = (f"{prefix}final.0.bias", _bias)
+    return m
+
+
+def _fusion_map(prefix: str = "feat.") -> dict:
+    """``PoseNetFeat``/``PoseRefineNetFeat`` Conv1d stacks
+    (``lib/network.py:39-68,136-168``) -> DenseFusionFeat/RefineFeat."""
+    pairs = {"geo1": "conv1", "geo2": "conv2", "col1": "e_conv1",
+             "col2": "e_conv2", "mix1": "conv5", "mix2": "conv6"}
+    m = {}
+    for ours, theirs in pairs.items():
+        m[("fusion", ours, "kernel")] = (f"{prefix}{theirs}.weight", _conv1d)
+        m[("fusion", ours, "bias")] = (f"{prefix}{theirs}.bias", _bias)
+    return m
+
+
+def _posenet_head_map() -> dict:
+    """Three 1408->640->256->128->num_obj*D Conv1d stacks
+    (``lib/network.py:77-91``)."""
+    m = {}
+    for letter, head in (("r", "head_r"), ("t", "head_t"), ("c", "head_c")):
+        for i in range(1, 5):
+            m[(head, f"fc{i}", "kernel")] = \
+                (f"conv{i}_{letter}.weight", _conv1d)
+            m[(head, f"fc{i}", "bias")] = (f"conv{i}_{letter}.bias", _bias)
+    return m
+
+
+def _refiner_head_map() -> dict:
+    """Two 1024->512->128->num_obj*D Linear stacks
+    (``lib/network.py:176-187``)."""
+    m = {}
+    for letter, head in (("r", "head_r"), ("t", "head_t")):
+        for i in range(1, 4):
+            m[(f"{head}_fc{i}", "kernel")] = \
+                (f"conv{i}_{letter}.weight", _linear)
+            m[(f"{head}_fc{i}", "bias")] = (f"conv{i}_{letter}.bias", _bias)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Tree filling
+# ---------------------------------------------------------------------------
+
+def _detect_cnn_prefix(sd: dict) -> str:
+    for p in ("cnn.model.module.", "cnn.model.", "cnn."):
+        if any(k.startswith(p + "feats.") for k in sd):
+            return p
+    raise ValueError("state_dict has no recognizable PSPNet keys "
+                     "(expected cnn.model.module.feats.*)")
+
+
+def _fill(template: dict, mapping: dict, sd: dict,
+          ignore_prefixes: tuple[str, ...] = ()) -> tuple[dict, set]:
+    """Fill a flax ``{"params": ...}`` tree from ``sd`` via ``mapping``.
+
+    Every leaf in the template must be mapped and shape-matched; returns the
+    filled tree and the set of consumed torch keys.
+    """
+    import jax
+
+    consumed: set[str] = set()
+
+    flat = jax.tree_util.tree_flatten_with_path(template["params"])[0]
+    out = template["params"]
+
+    def set_in(tree, path, value):
+        if len(path) == 1:
+            return {**tree, path[0]: value}
+        return {**tree, path[0]: set_in(tree[path[0]], path[1:], value)}
+
+    for keypath, leaf in flat:
+        path = tuple(k.key for k in keypath)
+        if path not in mapping:
+            raise KeyError(f"no torch mapping for flax param {'/'.join(path)}")
+        torch_key, transform = mapping[path]
+        if torch_key not in sd:
+            raise KeyError(f"torch state_dict missing {torch_key} "
+                           f"(for flax {'/'.join(path)})")
+        value = transform(sd[torch_key])
+        if tuple(value.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch for {'/'.join(path)} <- {torch_key}: "
+                f"torch gives {value.shape}, flax expects {np.shape(leaf)}")
+        out = set_in(out, path, value)
+        consumed.add(torch_key)
+
+    leftovers = [k for k in sd if k not in consumed
+                 and not any(k.startswith(p) for p in ignore_prefixes)]
+    if leftovers:
+        raise ValueError(f"unconsumed torch keys (first 10): {leftovers[:10]}")
+    return {"params": out}, consumed
+
+
+def _init_template(model, *args):
+    import jax
+    return jax.jit(model.init)(jax.random.key(0), *args)
+
+
+def posenet_params_from_torch(sd: dict, num_obj: int,
+                              variant: str = "resnet18",
+                              emb_dim: int = 32) -> dict:
+    """Convert a ``PoseNet.state_dict()`` (``lib/network.py:70-132``) into
+    flax params for :class:`densefusion_tpu.models.PoseNet`."""
+    import jax.numpy as jnp
+    from densefusion_tpu.models import PoseNet
+
+    prefix = _detect_cnn_prefix(sd)
+    mapping = {**_pspnet_map(prefix, variant), **_fusion_map("feat."),
+               **_posenet_head_map()}
+    model = PoseNet(num_obj=num_obj, cnn_variant=variant, emb_dim=emb_dim)
+    template = _init_template(
+        model, jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((1, 32, 3), jnp.float32), jnp.zeros((1, 32), jnp.int32),
+        jnp.zeros((1,), jnp.int32))
+    # the reference PSPNet carries an unused aux classifier
+    # (lib/pspnet.py:58-62); its weights are dead — skip them
+    filled, _ = _fill(template, mapping, sd,
+                      ignore_prefixes=(prefix + "classifier.",))
+    return filled
+
+
+def refiner_params_from_torch(sd: dict, num_obj: int,
+                              emb_dim: int = 32) -> dict:
+    """Convert a ``PoseRefineNet.state_dict()`` (``lib/network.py:170-206``)
+    into flax params for :class:`densefusion_tpu.models.PoseRefineNet`."""
+    import jax.numpy as jnp
+    from densefusion_tpu.models import PoseRefineNet
+
+    mapping = {**_fusion_map("feat."), **_refiner_head_map()}
+    model = PoseRefineNet(num_obj=num_obj)
+    template = _init_template(
+        model, jnp.zeros((1, 32, 3), jnp.float32),
+        jnp.zeros((1, 32, emb_dim), jnp.float32), jnp.zeros((1,), jnp.int32))
+    filled, _ = _fill(template, mapping, sd)
+    return filled
+
+
+def import_torch_checkpoint(pose_pth: str, out_path: str, num_obj: int,
+                            refine_pth: str | None = None,
+                            variant: str = "resnet18",
+                            dataset: str = "ycb",
+                            num_points: int = 1000,
+                            crop_size: int = 192) -> None:
+    """Convert reference ``.pth`` checkpoint(s) into one of our train-state
+    checkpoints (fresh optimizer, curriculum fast-forwarded when a refiner is
+    present — mirroring the reference's resume semantics,
+    ``tools/train.py:83-97``)."""
+    import jax
+    import numpy as np_
+    from densefusion_tpu.data.schema import PoseSample
+    from densefusion_tpu.data import collate
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.train import create_train_state, save_checkpoint
+    from densefusion_tpu.train.state import Curriculum
+    from densefusion_tpu.utils.config import RunConfig
+
+    cfg = RunConfig.preset(dataset, num_points=num_points,
+                           crop_size=crop_size)
+    posenet = PoseNet(num_obj=num_obj, cnn_variant=variant)
+    refiner = PoseRefineNet(num_obj=num_obj)
+    batch = collate([PoseSample.invalid(num_points, 500, crop_size)])
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch)
+
+    state = state.replace(
+        params_pose=jax.tree.map(
+            np_.asarray,
+            posenet_params_from_torch(load_torch_state_dict(pose_pth),
+                                      num_obj, variant)))
+    cur = Curriculum()
+    if refine_pth is not None:
+        state = state.replace(params_refine=jax.tree.map(
+            np_.asarray,
+            refiner_params_from_torch(load_torch_state_dict(refine_pth),
+                                      num_obj)))
+        cur.refine_started = True
+        cur.decay_started = True
+    save_checkpoint(out_path, state, cur, cfg)

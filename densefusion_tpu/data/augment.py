@@ -54,35 +54,63 @@ def _hsv_to_rgb(h, s, v):
     return rgb
 
 
+def jitter_params(rng: np.random.Generator, brightness: float = 0.2,
+                  contrast: float = 0.2, saturation: float = 0.2,
+                  hue: float = 0.05) -> tuple[np.ndarray, np.ndarray]:
+    """Draw ColorJitter factors + application order once (so the same params
+    can be applied natively or in numpy): returns (ops, factors) where ops is
+    the op-id order (0=brightness, 1=contrast, 2=saturation, 3=hue) and
+    ``factors[op_id]`` the drawn factor (hue: the shift)."""
+    kinds = []
+    factors = np.ones(4, np.float32)
+    if brightness:
+        factors[0] = rng.uniform(1 - brightness, 1 + brightness)
+        kinds.append(0)
+    if contrast:
+        factors[1] = rng.uniform(1 - contrast, 1 + contrast)
+        kinds.append(1)
+    if saturation:
+        factors[2] = rng.uniform(1 - saturation, 1 + saturation)
+        kinds.append(2)
+    if hue:
+        factors[3] = rng.uniform(-hue, hue)
+        kinds.append(3)
+    ops = np.asarray(kinds, np.int32)[rng.permutation(len(kinds))]
+    return ops, factors
+
+
+def apply_color_jitter(img: np.ndarray,
+                       params: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+    """Apply drawn jitter params to a (H, W, 3) image in 0-255 range. Uses the
+    fused native pass (runtime/dfnative.cpp: one C loop instead of the numpy
+    HSV round-trip, the loader's second-hottest op) when available."""
+    ops, factors = params
+    from densefusion_tpu import native
+    if img.dtype == np.uint8 and native.decode_supported():
+        return native.color_jitter(img, ops, factors)
+    img = np.asarray(img, np.float32)
+    for k in ops:
+        if k == 0:
+            img = img * factors[0]
+        elif k == 1:
+            img = _blend(img, np.full_like(img, _grayscale(img).mean()),
+                         factors[1])
+        elif k == 2:
+            img = _blend(img, np.broadcast_to(_grayscale(img), img.shape),
+                         factors[2])
+        else:
+            h, s, v = _rgb_to_hsv(img * np.float32(1 / 255.0))
+            img = _hsv_to_rgb((h + factors[3]) % 1.0, s, v) * np.float32(255.0)
+    return np.clip(img, 0.0, 255.0)
+
+
 def color_jitter(img: np.ndarray, rng: np.random.Generator,
                  brightness: float = 0.2, contrast: float = 0.2,
                  saturation: float = 0.2, hue: float = 0.05) -> np.ndarray:
     """torchvision ColorJitter equivalent on a (H, W, 3) uint8/float image in
     0-255 range; factors drawn uniformly, ops applied in random order."""
-    img = np.asarray(img, np.float32)
-    ops = []
-    if brightness:
-        f = rng.uniform(1 - brightness, 1 + brightness)
-        ops.append(lambda x: x * f)
-    if contrast:
-        f = rng.uniform(1 - contrast, 1 + contrast)
-        ops.append(lambda x: _blend(x, np.full_like(x, _grayscale(x).mean()), f))
-    if saturation:
-        f = rng.uniform(1 - saturation, 1 + saturation)
-        ops.append(lambda x: _blend(x, np.broadcast_to(_grayscale(x), x.shape), f))
-    if hue:
-        shift = rng.uniform(-hue, hue)
-
-        def hue_op(x):
-            h, s, v = _rgb_to_hsv(x * np.float32(1 / 255.0))
-            return _hsv_to_rgb((h + np.float32(shift)) % 1.0, s, v) \
-                * np.float32(255.0)
-
-        ops.append(hue_op)
-    order = rng.permutation(len(ops))
-    for k in order:
-        img = ops[k](img)
-    return np.clip(img, 0.0, 255.0)
+    return apply_color_jitter(
+        img, jitter_params(rng, brightness, contrast, saturation, hue))
 
 
 def translation_noise(rng: np.random.Generator, noise_trans: float) -> np.ndarray:
@@ -93,9 +121,20 @@ def translation_noise(rng: np.random.Generator, noise_trans: float) -> np.ndarra
 
 
 def gaussian_pixel_noise(img: np.ndarray, rng: np.random.Generator,
-                         scale: float = 7.0) -> np.ndarray:
+                         scale: float = 7.0,
+                         seed: int | None = None) -> np.ndarray:
     """Additive N(0, scale) pixel noise (synthetic YCB frames,
-    ``datasets/ycb/dataset.py:166-167``)."""
+    ``datasets/ycb/dataset.py:166-167``). With ``seed`` given, uses the native
+    Box-Muller pass (runtime/dfnative.cpp — numpy normal draws were a top
+    loader cost) when available; the numpy path draws from ``rng``."""
+    from densefusion_tpu import native
+    if seed is not None and native.decode_supported():
+        arr = np.asarray(img)
+        if (arr.dtype == np.float32 and arr.flags.c_contiguous
+                and arr.flags.writeable):
+            return native.gaussian_noise(arr, scale, seed)  # in place
+        return native.gaussian_noise(
+            arr.astype(np.float32, copy=True), scale, seed)
     return np.asarray(img, np.float32) + rng.normal(0.0, scale, img.shape)
 
 

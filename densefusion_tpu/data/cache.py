@@ -48,5 +48,11 @@ class ImageCache:
 
     @staticmethod
     def _decode(path: str) -> np.ndarray:
+        if path.endswith(".png"):
+            from densefusion_tpu import native
+            if native.decode_supported():
+                arr = native.decode_png_file(path)
+                if arr is not None:   # unsupported variants -> PIL
+                    return arr
         from PIL import Image
         return np.array(Image.open(path))

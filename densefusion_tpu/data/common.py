@@ -60,7 +60,7 @@ def choose_mask_pixels(mask_crop: np.ndarray, num_points: int,
 
 def assemble_sample(
     *,
-    rgb: np.ndarray,                 # (H, W, 3) full frame, jitter applied
+    rgb: np.ndarray | None = None,   # (H, W, 3) full frame, jitter applied
     mask: np.ndarray,                # (H, W) bool valid-object pixels
     bbox: tuple[int, int, int, int],  # tight (rmin, rmax, cmin, cmax), pre-snap
     point_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
@@ -73,6 +73,7 @@ def assemble_sample(
     rng: np.random.Generator,
     add_t: np.ndarray | None = None,  # (3,) translation noise, meters
     rgb_transform=None,               # applied to the CROP (e.g. ColorJitter)
+    crop_fn=None,                     # (rmin, rmax, cmin, cmax) -> crop rgb
 ) -> PoseSample:
     """Build one PoseSample. ``point_fn(rows, cols) -> (n, 3)`` back-projects
     absolute pixel coordinates to metric 3D (pinhole or ray-map).
@@ -80,7 +81,9 @@ def assemble_sample(
     ``rgb_transform`` runs on the snapped crop only — the reference jitters
     whole frames before cropping (``datasets/ycb/dataset.py:149-150``), which
     wastes ~8x the pixels; per-crop jitter is the loader's hottest op on
-    few-core hosts.
+    few-core hosts. ``crop_fn`` generalizes this: the caller produces the
+    finished crop for the snapped window (compositing/noise/jitter restricted
+    to the consumed pixels), mutually exclusive with ``rgb``.
     """
     h, w = mask.shape
     rmin, rmax, cmin, cmax = snap_bbox(*bbox, img_h=h, img_w=w)
@@ -99,7 +102,10 @@ def assemble_sample(
         cloud = cloud + add_t
         tgt = tgt + add_t
 
-    crop_rgb = rgb[rmin:rmax, cmin:cmax]
+    if crop_fn is not None:
+        crop_rgb = crop_fn(rmin, rmax, cmin, cmax)
+    else:
+        crop_rgb = rgb[rmin:rmax, cmin:cmax]
     if rgb_transform is not None:
         crop_rgb = rgb_transform(crop_rgb)
     if native.available():

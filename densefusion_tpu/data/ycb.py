@@ -22,7 +22,8 @@ from densefusion_tpu.data.common import (
     assemble_sample, subsample_model_points, pinhole_point_fn,
 )
 from densefusion_tpu.data.augment import (
-    color_jitter, translation_noise, gaussian_pixel_noise,
+    jitter_params, apply_color_jitter, translation_noise,
+    gaussian_pixel_noise,
 )
 from densefusion_tpu.data.cache import ImageCache
 
@@ -57,6 +58,7 @@ class YCBDataset:
         self.seed = seed
         self._epoch = 0
         self.cache = ImageCache(cache_frames)
+        self._label_ids: dict[str, list] = {}
         # 500 normal / 2600 once refinement starts (dataset.py:90-91)
         self.num_mesh = 2600 if refine else 500
 
@@ -118,7 +120,10 @@ class YCBDataset:
             c_path, _, l_path, _ = self._frame_paths(seed_frame)
             front = self.cache.load(c_path)[..., :3]
             f_label = self.cache.load(l_path)
-            ids = [i for i in np.unique(f_label) if i != 0]
+            ids = self._label_ids.get(l_path)
+            if ids is None:   # per-path object-id cache (np.unique was hot)
+                ids = [i for i in np.unique(f_label) if i != 0]
+                self._label_ids[l_path] = ids
             if len(ids) < 2:
                 continue
             pick = rng.choice(ids, size=2, replace=False)
@@ -137,8 +142,6 @@ class YCBDataset:
         label = self.cache.load(l_path)
         meta = _load_mat(m_path)
         is_syn = not frame.startswith("data/")
-
-        mask_back = label == 0
 
         mask_front = None
         front = None
@@ -163,21 +166,35 @@ class YCBDataset:
         mask_label = label == obj_id
         mask = mask_label & mask_depth
 
+        back = None
         if is_syn:  # real background behind the render (dataset.py:155-159)
             back_frame = self.real[rng.integers(len(self.real))]
             back = self.cache.load(self._frame_paths(back_frame)[0])[..., :3]
-            rgb = np.where(mask_back[..., None], back, rgb)
-
-        if self.add_noise and mask_front is not None:
-            rgb = np.where(mask_front[..., None], rgb, front)
-
-        if is_syn:
-            rgb = gaussian_pixel_noise(rgb, rng, 7.0)
 
         bbox = bbox_from_mask(mask_label, largest_component=False)
         if bbox is None:
             return PoseSample.invalid(self.num_points, self.num_mesh,
                                       self.crop_size)
+
+        # the consumed pixels are the snapped CROP — compositing / noise /
+        # jitter run on the crop window only (full-frame np.where + full-frame
+        # gaussian draws were the loader's top costs; same pixels, ~8x less
+        # work than the reference's whole-frame ops, dataset.py:155-167)
+        noise_seed = int(rng.integers(2 ** 63)) if is_syn else 0
+        jitter = (jitter_params(rng) if self.add_noise else None)
+
+        def crop_fn(rmin, rmax, cmin, cmax):
+            win = np.s_[rmin:rmax, cmin:cmax]
+            crop = rgb[win]
+            if back is not None:
+                crop = np.where((label[win] == 0)[..., None], back[win], crop)
+            if mask_front is not None:
+                crop = np.where(mask_front[win][..., None], crop, front[win])
+            if jitter is not None:
+                crop = apply_color_jitter(crop, jitter)
+            if is_syn:
+                crop = gaussian_pixel_noise(crop, rng, 7.0, seed=noise_seed)
+            return crop
 
         pose = meta["poses"][:, :, pick]
         R_gt = pose[:, :3].astype(np.float64)
@@ -188,8 +205,6 @@ class YCBDataset:
 
         add_t = (translation_noise(rng, self.noise_trans)
                  if self.add_noise else None)
-        rgb_transform = ((lambda crop: color_jitter(crop, rng))
-                         if self.add_noise else None)
 
         model = subsample_model_points(self.models[obj_id], self.num_mesh,
                                        rng)
@@ -197,12 +212,12 @@ class YCBDataset:
         point_fn = pinhole_point_fn(depth, cam, cam_scale)
 
         return assemble_sample(
-            rgb=rgb, mask=mask, bbox=bbox, point_fn=point_fn,
+            crop_fn=crop_fn, mask=mask, bbox=bbox, point_fn=point_fn,
             model_points=model, target=target,
             obj_idx=obj_id - 1,  # 0-based class (dataset.py:232)
             sym=(obj_id - 1) in YCB_SYM,
             num_points=self.num_points, crop_size=self.crop_size,
-            rng=rng, add_t=add_t, rgb_transform=rgb_transform,
+            rng=rng, add_t=add_t,
         )
 
 

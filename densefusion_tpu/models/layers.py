@@ -57,6 +57,82 @@ def adaptive_avg_pool2d(x: jax.Array, out_size: tuple[int, int]) -> jax.Array:
     return jnp.stack(rows, axis=-3)
 
 
+# 1-D tap->source weights of the half-pixel 2x bilinear upsample, per output
+# parity: rows = conv taps (y-1, y, y+1) of output pixel y, cols = half-res
+# sources (k-1, k, k+1) where k = y // 2. Even y = 2k: up[2k] =
+# 0.25 x[k-1] + 0.75 x[k]; odd y = 2k+1: 0.75 x[k] + 0.25 x[k+1].
+UPSAMPLE_TAPS_EVEN = ((0.75, 0.25, 0.0), (0.25, 0.75, 0.0), (0.0, 0.75, 0.25))
+UPSAMPLE_TAPS_ODD = ((0.25, 0.75, 0.0), (0.0, 0.75, 0.25), (0.0, 0.25, 0.75))
+
+
+def _edge_upsample_1d(v: jax.Array, axis: int) -> jax.Array:
+    """Extended 2x half-pixel upsample along ``axis``: length n -> 2n + 2,
+    covering upsampled coordinates -1 .. 2n (one phantom sample each side,
+    edge-clamped) — the boundary helper of :func:`phase_upsample_conv3x3`."""
+    v = jnp.moveaxis(v, axis, 0)
+    vp = jnp.concatenate([v[:1], v, v[-1:]], axis=0)      # clamp pad, n + 2
+    even = 0.25 * vp[:-1] + 0.75 * vp[1:]                 # coords 0,2,..,2n
+    odd = 0.75 * vp[:-1] + 0.25 * vp[1:]                  # coords -1,1,..,2n-1
+    e = jnp.stack([odd, even], axis=1).reshape((-1,) + v.shape[1:])
+    return jnp.moveaxis(e, 0, axis)                       # coords -1 .. 2n
+
+
+def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
+                           bias: jax.Array) -> jax.Array:
+    """Fused ``conv3x3(pad0(resize_bilinear(x, 2x)))`` as ONE half-res conv.
+
+    Exactly equal (incl. borders) to upsampling x (B, h, w, Cin) 2x with the
+    half-pixel bilinear convention, zero-padding by 1, and a VALID 3x3 conv —
+    but computed as a phase (sub-pixel) convolution: the 4 output parity
+    classes each see a 3x3 neighborhood of the HALF-res input, with kernels
+    ``K[py,px] = M_py^T W M_px`` composed from the fixed bilinear tap weights.
+    Same MXU FLOPs as the full-res conv, 1/4 the conv input HBM traffic, and
+    the 4x-larger upsampled intermediate never exists (docs/PERF.md: the
+    decoder resizes were the PSPNet bottleneck).
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    m_even = jnp.asarray(UPSAMPLE_TAPS_EVEN, kernel.dtype)
+    m_odd = jnp.asarray(UPSAMPLE_TAPS_ODD, kernel.dtype)
+    # phase kernels (2, 2, 3, 3, cin, cout), phase index (py, px)
+    m = jnp.stack([m_even, m_odd])                        # (2, tap, src)
+    pk = jnp.einsum("pti,quj,tucd->pqijcd", m, m, kernel)
+    pk = pk.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, cin, 4 * cout)
+
+    # uniform interior formula: replicate padding == the resize's edge clamp
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, pk, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # (B, h, w, 4*cout)
+    y = y + jnp.tile(bias.astype(y.dtype), 4)
+    y = y.reshape(b, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, 2 * h, 2 * w, cout)                  # depth-to-space
+
+    # Boundary: the true conv zero-pads the UPSAMPLED map, so taps at
+    # upsampled coords -1 / 2h / -1 / 2w must contribute 0 — but the uniform
+    # formula gave them clamped values. Subtract those phantom contributions
+    # from the outermost ring (inclusion-exclusion adds corners back).
+    def ring(vrow, wrow):                                 # vrow: (B, 2n+2, C)
+        win = jnp.stack([vrow[:, :-2], vrow[:, 1:-1], vrow[:, 2:]], axis=2)
+        return jnp.einsum("bxjc,jcd->bxd", win, wrow.astype(vrow.dtype))
+
+    top = _edge_upsample_1d(x[:, 0], axis=1)              # U[-1, -1:2w+1]
+    bot = _edge_upsample_1d(x[:, -1], axis=1)             # U[2h, ...]
+    left = _edge_upsample_1d(x[:, :, 0], axis=1)          # U[-1:2h+1, -1]
+    right = _edge_upsample_1d(x[:, :, -1], axis=1)
+    y = y.at[:, 0].add(-ring(top, kernel[0]))
+    y = y.at[:, -1].add(-ring(bot, kernel[2]))
+    y = y.at[:, :, 0].add(-ring(left, kernel[:, 0]))
+    y = y.at[:, :, -1].add(-ring(right, kernel[:, 2]))
+    # corners were subtracted twice; add the doubly-removed tap back
+    kc = kernel.astype(x.dtype)
+    y = y.at[:, 0, 0].add(jnp.einsum("bc,cd->bd", x[:, 0, 0], kc[0, 0]))
+    y = y.at[:, 0, -1].add(jnp.einsum("bc,cd->bd", x[:, 0, -1], kc[0, 2]))
+    y = y.at[:, -1, 0].add(jnp.einsum("bc,cd->bd", x[:, -1, 0], kc[2, 0]))
+    y = y.at[:, -1, -1].add(jnp.einsum("bc,cd->bd", x[:, -1, -1], kc[2, 2]))
+    return y
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """NHWC bilinear resize (half-pixel convention). Stands in for torch's
     ``nn.Upsample(mode='bilinear')`` in the PSP pyramid / decoder

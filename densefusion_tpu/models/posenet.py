@@ -122,11 +122,13 @@ class PoseNet(nn.Module):
     dtype: type | None = None    # bf16 compute path: set jnp.bfloat16
     sparse_emb: bool = True      # sparse-decode the CNN at the N choose
     # pixels instead of the full crop (identical math; docs/PERF.md)
+    fused_decoder: bool = True   # phase-conv upsample stages (docs/PERF.md)
 
     @nn.compact
     def __call__(self, img, points, choose, obj, train: bool = False):
         cnn = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
-                     dtype=self.dtype, name="cnn")
+                     dtype=self.dtype, fused_decoder=self.fused_decoder,
+                     name="cnn")
         if self.sparse_emb:
             emb = cnn(img, train=train,
                       sample_at=choose.astype(jnp.int32))     # (B, N, d)

@@ -20,6 +20,7 @@ import flax.linen as nn
 
 from densefusion_tpu.models.layers import (
     PReLU, adaptive_avg_pool2d, resize_bilinear, he_normal_fan_out, Dropout2d,
+    phase_upsample_conv3x3,
 )
 from densefusion_tpu.models.resnet import DilatedResNet
 
@@ -50,19 +51,49 @@ class PSPModule(nn.Module):
         return nn.relu(y)
 
 
+class _Conv3x3Params(nn.Module):
+    """Bare 3x3 conv parameters (same tree shape as ``nn.Conv`` — kernel +
+    bias under one name) so the fused and dense upsample paths share one
+    parameter set."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", he_normal_fan_out,
+                            (3, 3, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class PSPUpsample(nn.Module):
-    """2x bilinear upsample -> conv3x3 -> PReLU (``lib/pspnet.py:27-37``)."""
+    """2x bilinear upsample -> conv3x3 -> PReLU (``lib/pspnet.py:27-37``).
+
+    ``fused=True`` computes the identical map as one half-res phase
+    convolution (:func:`phase_upsample_conv3x3`) — the 4x-larger upsampled
+    intermediate never touches HBM. Both paths read the same parameters.
+    """
 
     features: int
     dtype: type | None = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
-        h, w = x.shape[-3], x.shape[-2]
-        x = resize_bilinear(x, (2 * h, 2 * w))
-        x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    kernel_init=he_normal_fan_out, dtype=self.dtype,
-                    name="conv")(x)
+        kernel, bias = _Conv3x3Params(self.features, name="conv")(x.shape[-1])
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        if self.fused:
+            x = phase_upsample_conv3x3(x, kernel, bias)
+        else:
+            h, w = x.shape[-3], x.shape[-2]
+            x = resize_bilinear(x, (2 * h, 2 * w))
+            x = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
         return PReLU(name="prelu")(x)
 
 
@@ -136,6 +167,7 @@ class PSPNet(nn.Module):
     drop2: float = 0.15
     log_softmax_emb: bool = True
     dtype: type | None = None
+    fused_decoder: bool = True   # phase-conv upsample stages (docs/PERF.md)
 
     @nn.compact
     def __call__(self, x, train: bool = False, sample_at=None):
@@ -146,16 +178,20 @@ class PSPNet(nn.Module):
                       dtype=self.dtype, name="psp")(f)
         p = Dropout2d(self.drop1, name="drop1")(p, deterministic=not train)
 
-        p = PSPUpsample(256, dtype=self.dtype, name="up1")(p)
+        p = PSPUpsample(256, dtype=self.dtype, fused=self.fused_decoder,
+                        name="up1")(p)
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
-        p = PSPUpsample(64, dtype=self.dtype, name="up2")(p)
+        p = PSPUpsample(64, dtype=self.dtype, fused=self.fused_decoder,
+                        name="up2")(p)
         p = Dropout2d(self.drop2, name="drop2b")(p, deterministic=not train)
 
-        # Final stage modules — ONE parameter set serving both the dense and
-        # the sparse path (VALID conv + explicit padding/patches).
-        up3_conv = nn.Conv(64, (3, 3), padding="VALID",
-                           kernel_init=he_normal_fan_out, dtype=self.dtype,
-                           name="up3_conv")
+        # Final stage modules — ONE parameter set serving the dense, fused,
+        # and sparse paths (VALID conv + explicit padding/patches).
+        up3_kernel, up3_bias = _Conv3x3Params(64, name="up3_conv")(
+            p.shape[-1])
+        if self.dtype is not None:
+            up3_kernel = up3_kernel.astype(self.dtype)
+            up3_bias = up3_bias.astype(self.dtype)
         up3_prelu = PReLU(name="up3_prelu")
         # zero-init final projection: the embedding starts at the uniform
         # log-softmax (-log emb_dim) instead of inheriting the trunk's
@@ -168,19 +204,24 @@ class PSPNet(nn.Module):
                         dtype=self.dtype, name="final")
 
         if sample_at is None:
-            h2, w2 = p.shape[-3], p.shape[-2]
-            p = resize_bilinear(p, (2 * h2, 2 * w2))
-            p = jnp.pad(p, [(0, 0), (1, 1), (1, 1), (0, 0)])
-            p = up3_conv(p)
+            if self.fused_decoder:
+                p = phase_upsample_conv3x3(p, up3_kernel, up3_bias)
+            else:
+                h2, w2 = p.shape[-3], p.shape[-2]
+                p = resize_bilinear(p, (2 * h2, 2 * w2))
+                p = jnp.pad(p, [(0, 0), (1, 1), (1, 1), (0, 0)])
+                p = jax.lax.conv_general_dilated(
+                    p, up3_kernel, window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + up3_bias
             p = up3_prelu(p)
             p = final(p)
         else:
             rows = sample_at // w_full
             cols = sample_at % w_full
             taps = sparse_upsample_taps(p, rows, cols)   # (B, N, 3, 3, C)
-            b, n = taps.shape[:2]
-            y = up3_conv(taps.reshape(b * n, 3, 3, taps.shape[-1]))
-            y = y.reshape(b, n, 64)
+            y = jnp.einsum("bnijc,ijcd->bnd",
+                           taps.astype(up3_kernel.dtype), up3_kernel) \
+                + up3_bias
             y = up3_prelu(y)
             p = final(y[:, :, None, :])[:, :, 0, :]       # 1x1 over (B,N,1,C)
 

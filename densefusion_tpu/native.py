@@ -28,6 +28,7 @@ _lib = None
 _tried = False
 
 _i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
 _f32p = ctypes.POINTER(ctypes.c_float)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 
@@ -39,7 +40,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o",
-             _LIB_PATH, src],
+             _LIB_PATH, src, "-lz"],
             check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError):
@@ -77,6 +78,19 @@ def _load():
         lib.df_remap_choose.argtypes = [
             _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, _i64p]
+        if hasattr(lib, "df_png_info"):   # v2 entry points
+            lib.df_png_info.restype = ctypes.c_int
+            lib.df_png_info.argtypes = [
+                _u8p, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p]
+            lib.df_png_decode.restype = ctypes.c_int
+            lib.df_png_decode.argtypes = [_u8p, ctypes.c_int64, _u8p]
+            lib.df_color_jitter.restype = None
+            lib.df_color_jitter.argtypes = [
+                _u8p, ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64,
+                _f32p, _f32p]
+            lib.df_gaussian_noise.restype = None
+            lib.df_gaussian_noise.argtypes = [
+                _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_uint64]
         _lib = lib
         return _lib
 
@@ -147,3 +161,79 @@ def remap_choose(choose: np.ndarray, crop_h: int, crop_w: int,
     lib.df_remap_choose(_ptr(ch, _i64p), ch.size, crop_h, crop_w, out_h,
                         out_w, _ptr(out, _i64p))
     return out
+
+
+def decode_supported() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "df_png_decode")
+
+
+# palette (3) decodes to raw indices, matching np.array(PIL P-mode image)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray | None:
+    """Decode a PNG byte string to (h, w[, c]) uint8 — or uint16 for 16-bit
+    gray depth maps. Returns None for unsupported formats (caller falls back
+    to PIL). Palette images are expanded to RGB (PIL-convert-equivalent)."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    depth = ctypes.c_int64()
+    ctype = ctypes.c_int64()
+    rc = lib.df_png_info(_ptr(buf, _u8p), buf.size, ctypes.byref(w),
+                         ctypes.byref(h), ctypes.byref(depth),
+                         ctypes.byref(ctype))
+    if rc != 0:
+        return None
+    channels = _PNG_CHANNELS.get(ctype.value)
+    if channels is None:
+        return None
+    if depth.value == 16:
+        if ctype.value != 0:
+            return None
+        out = np.empty((h.value, w.value), np.uint16)
+    else:
+        shape = (h.value, w.value) if channels == 1 \
+            else (h.value, w.value, channels)
+        out = np.empty(shape, np.uint8)
+    rc = lib.df_png_decode(_ptr(buf, _u8p), buf.size,
+                           out.ctypes.data_as(_u8p))
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_png_file(path: str) -> np.ndarray | None:
+    with open(path, "rb") as f:
+        return decode_png(f.read())
+
+
+# op ids for df_color_jitter (order of data/augment.py's ops list)
+JITTER_BRIGHTNESS, JITTER_CONTRAST, JITTER_SATURATION, JITTER_HUE = 0, 1, 2, 3
+
+
+def color_jitter(img: np.ndarray, ops: np.ndarray,
+                 factors: np.ndarray) -> np.ndarray:
+    """Fused ColorJitter on a (h, w, 3) uint8 crop; ``ops`` is the op-id
+    application order, ``factors[op_id]`` the drawn factor (hue: shift)."""
+    lib = _load()
+    src = np.ascontiguousarray(img, np.uint8)
+    h, w = src.shape[:2]
+    out = np.empty((h, w, 3), np.float32)
+    ops32 = np.ascontiguousarray(ops, np.int32)
+    f32 = np.ascontiguousarray(factors, np.float32)
+    lib.df_color_jitter(_ptr(src, _u8p), h, w, _ptr(ops32, _i32p), ops32.size,
+                        _ptr(f32, _f32p), _ptr(out, _f32p))
+    return out
+
+
+def gaussian_noise(img: np.ndarray, scale: float, seed: int) -> np.ndarray:
+    """In-place additive N(0, scale) noise on a float32 array."""
+    lib = _load()
+    arr = np.ascontiguousarray(img, np.float32)
+    lib.df_gaussian_noise(_ptr(arr, _f32p), arr.size,
+                          ctypes.c_float(scale),
+                          ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    return arr

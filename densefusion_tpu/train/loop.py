@@ -186,7 +186,15 @@ class Trainer:
             dis, valid = np.asarray(dis), np.asarray(valid)
             dis_sum += float((dis * valid).sum())
             count += int(valid.sum())
-        avg = dis_sum / max(count, 1)
+        if count == 0:
+            # an empty/all-invalid test split must not read as a perfect
+            # score — a 0.0 here would silently fire the curriculum gates
+            # (decay at <0.03, refine at <0.02)
+            self.logger.warning(
+                f"epoch {cur.epoch} TEST had no valid samples; "
+                "skipping best/curriculum updates")
+            return float("inf")
+        avg = dis_sum / count
         self.metrics.write(kind="test_epoch", epoch=cur.epoch, avg_dis=avg,
                            seconds=time.time() - t0, phase=self._phase())
         self.logger.info(f"epoch {cur.epoch} TEST avg_dis {avg:.5f}")

@@ -13,6 +13,9 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -162,6 +165,246 @@ void df_remap_choose(const int64_t* choose, int64_t n, int64_t crop_h,
     }
 }
 
-int df_version() { return 1; }
+// ---------------------------------------------------------------------------
+// PNG decoder (zlib inflate + scanline unfilter). Covers the dataset formats:
+// 8-bit gray / RGB / RGBA / palette and 16-bit gray (depth maps), not
+// interlaced. Replaces PIL in the loader hot path (the reference loads every
+// frame with PIL, datasets/ycb/dataset.py:94-101); returns <0 so Python can
+// fall back to PIL on anything unsupported.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t be32(const uint8_t* p) {
+    return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+           ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+// Parse IHDR only: fills w, h, bit_depth, color_type. Returns 0 or <0.
+int df_png_info(const uint8_t* data, int64_t size, int64_t* w, int64_t* h,
+                int64_t* bit_depth, int64_t* color_type) {
+    static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    if (size < 33 || std::memcmp(data, sig, 8) != 0) return -1;
+    if (std::memcmp(data + 12, "IHDR", 4) != 0) return -2;
+    *w = be32(data + 16);
+    *h = be32(data + 20);
+    *bit_depth = data[24];
+    *color_type = data[25];
+    if (data[28] != 0) return -3;  // interlaced: unsupported
+    return 0;
+}
+
+static inline int paeth(int a, int b, int c) {
+    int p = a + b - c, pa = std::abs(p - a), pb = std::abs(p - b),
+        pc = std::abs(p - c);
+    if (pa <= pb && pa <= pc) return a;
+    return (pb <= pc) ? b : c;
+}
+
+// Decode into out (row-major, native byte order for 16-bit). out must hold
+// h*w*channels samples where channels = 3 for palette (expanded), else the
+// color type's channel count. Returns 0 on success.
+int df_png_decode(const uint8_t* data, int64_t size, uint8_t* out) {
+    int64_t w, h, depth, ctype;
+    int rc = df_png_info(data, size, &w, &h, &depth, &ctype);
+    if (rc != 0) return rc;
+    int channels;
+    switch (ctype) {
+        case 0: channels = 1; break;   // gray
+        case 2: channels = 3; break;   // rgb
+        case 3: channels = 1; break;   // palette: raw indices (PIL P-mode
+                                       // np.array parity — no expansion)
+        case 4: channels = 2; break;   // gray + alpha
+        case 6: channels = 4; break;   // rgba
+        default: return -4;
+    }
+    if (depth != 8 && !(depth == 16 && ctype == 0)) return -5;
+    const int bpp = channels * (depth / 8);      // filter byte distance
+    const int64_t stride = (int64_t)w * bpp;     // bytes per scanline
+
+    // gather IDAT
+    std::vector<const uint8_t*> idat;
+    std::vector<int64_t> idat_len;
+    int64_t pos = 8;
+    while (pos + 12 <= size) {
+        uint32_t len = be32(data + pos);
+        const uint8_t* type = data + pos + 4;
+        const uint8_t* body = data + pos + 8;
+        if ((int64_t)(pos + 12 + len) > size) return -6;
+        if (!std::memcmp(type, "IDAT", 4)) {
+            idat.push_back(body);
+            idat_len.push_back(len);
+        } else if (!std::memcmp(type, "IEND", 4)) {
+            break;
+        }
+        pos += 12 + len;
+    }
+    if (idat.empty()) return -7;
+
+    // inflate the filtered image
+    std::vector<uint8_t> raw((size_t)h * (stride + 1));
+    z_stream zs{};
+    if (inflateInit(&zs) != Z_OK) return -9;
+    zs.next_out = raw.data();
+    zs.avail_out = (uInt)raw.size();
+    int zrc = Z_OK;
+    for (size_t i = 0; i < idat.size() && zrc != Z_STREAM_END; ++i) {
+        zs.next_in = const_cast<uint8_t*>(idat[i]);
+        zs.avail_in = (uInt)idat_len[i];
+        zrc = inflate(&zs, Z_NO_FLUSH);
+        if (zrc != Z_OK && zrc != Z_STREAM_END) { inflateEnd(&zs); return -10; }
+    }
+    bool complete = (zs.total_out == raw.size());
+    inflateEnd(&zs);
+    if (!complete) return -11;
+
+    // unfilter scanlines in place (into a defiltered buffer)
+    std::vector<uint8_t> img((size_t)h * stride);
+    const uint8_t* prev = nullptr;
+    for (int64_t y = 0; y < h; ++y) {
+        const uint8_t* src = raw.data() + (size_t)y * (stride + 1);
+        uint8_t* dst = img.data() + (size_t)y * stride;
+        const uint8_t filter = src[0];
+        ++src;
+        switch (filter) {
+            case 0:
+                std::memcpy(dst, src, stride);
+                break;
+            case 1:  // Sub
+                for (int64_t i = 0; i < stride; ++i)
+                    dst[i] = src[i] + (i >= bpp ? dst[i - bpp] : 0);
+                break;
+            case 2:  // Up
+                for (int64_t i = 0; i < stride; ++i)
+                    dst[i] = src[i] + (prev ? prev[i] : 0);
+                break;
+            case 3:  // Average
+                for (int64_t i = 0; i < stride; ++i) {
+                    int a = i >= bpp ? dst[i - bpp] : 0;
+                    int b = prev ? prev[i] : 0;
+                    dst[i] = src[i] + (uint8_t)((a + b) >> 1);
+                }
+                break;
+            case 4:  // Paeth
+                for (int64_t i = 0; i < stride; ++i) {
+                    int a = i >= bpp ? dst[i - bpp] : 0;
+                    int b = prev ? prev[i] : 0;
+                    int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+                    dst[i] = src[i] + (uint8_t)paeth(a, b, c);
+                }
+                break;
+            default:
+                return -12;
+        }
+        prev = dst;
+    }
+
+    if (depth == 16) {  // big-endian -> native u16
+        uint16_t* o16 = reinterpret_cast<uint16_t*>(out);
+        for (int64_t i = 0; i < (int64_t)w * h; ++i)
+            o16[i] = (uint16_t)((img[2 * i] << 8) | img[2 * i + 1]);
+    } else {
+        std::memcpy(out, img.data(), img.size());
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Fused ColorJitter (torchvision semantics; data/augment.py:color_jitter).
+// ops: sequence of {0: brightness, 1: contrast, 2: saturation, 3: hue};
+// factors indexed by op id (hue factor is the shift in [-0.05, 0.05]).
+// src uint8 (h, w, 3) -> dst float32 (h, w, 3), clipped to [0, 255].
+// ---------------------------------------------------------------------------
+void df_color_jitter(const uint8_t* src, int64_t h, int64_t w,
+                     const int32_t* ops, int64_t n_ops,
+                     const float* factors, float* dst) {
+    const int64_t n = h * w;
+    for (int64_t i = 0; i < 3 * n; ++i) dst[i] = (float)src[i];
+    for (int64_t k = 0; k < n_ops; ++k) {
+        const float f = factors[ops[k]];
+        switch (ops[k]) {
+            case 0:  // brightness
+                for (int64_t i = 0; i < 3 * n; ++i) dst[i] *= f;
+                break;
+            case 1: {  // contrast: blend with mean gray of current state
+                double acc = 0.0;
+                for (int64_t i = 0; i < n; ++i)
+                    acc += 0.299f * dst[3 * i] + 0.587f * dst[3 * i + 1] +
+                           0.114f * dst[3 * i + 2];
+                const float g = (float)(acc / (double)n);
+                const float add = g * (1.0f - f);
+                for (int64_t i = 0; i < 3 * n; ++i)
+                    dst[i] = dst[i] * f + add;
+                break;
+            }
+            case 2:  // saturation: blend with per-pixel gray
+                for (int64_t i = 0; i < n; ++i) {
+                    float g = 0.299f * dst[3 * i] + 0.587f * dst[3 * i + 1] +
+                              0.114f * dst[3 * i + 2];
+                    const float add = g * (1.0f - f);
+                    dst[3 * i] = dst[3 * i] * f + add;
+                    dst[3 * i + 1] = dst[3 * i + 1] * f + add;
+                    dst[3 * i + 2] = dst[3 * i + 2] * f + add;
+                }
+                break;
+            case 3:  // hue: HSV round-trip with shifted hue
+                for (int64_t i = 0; i < n; ++i) {
+                    float r = dst[3 * i] * (1.0f / 255.0f);
+                    float g = dst[3 * i + 1] * (1.0f / 255.0f);
+                    float b = dst[3 * i + 2] * (1.0f / 255.0f);
+                    float maxc = std::max(r, std::max(g, b));
+                    float minc = std::min(r, std::min(g, b));
+                    float delta = maxc - minc;
+                    float s = maxc > 0.0f
+                        ? delta / std::max(maxc, 1e-12f) : 0.0f;
+                    float dd = std::max(delta, 1e-12f);
+                    float hh;
+                    if (maxc == r) hh = std::fmod((g - b) / dd + 6.0f, 6.0f);
+                    else if (maxc == g) hh = (b - r) / dd + 2.0f;
+                    else hh = (r - g) / dd + 4.0f;
+                    if (delta == 0.0f) hh = 0.0f;
+                    hh = hh * (1.0f / 6.0f) + f;
+                    hh = hh - std::floor(hh);        // mod 1
+                    float v = maxc;
+                    float i6 = std::floor(hh * 6.0f);
+                    float fr = hh * 6.0f - i6;
+                    float p = v * (1.0f - s);
+                    float q = v * (1.0f - s * fr);
+                    float t = v * (1.0f - s * (1.0f - fr));
+                    int ii = ((int)i6) % 6;
+                    float ro, go, bo;
+                    switch (ii) {
+                        case 0: ro = v; go = t; bo = p; break;
+                        case 1: ro = q; go = v; bo = p; break;
+                        case 2: ro = p; go = v; bo = t; break;
+                        case 3: ro = p; go = q; bo = v; break;
+                        case 4: ro = t; go = p; bo = v; break;
+                        default: ro = v; go = p; bo = q; break;
+                    }
+                    dst[3 * i] = ro * 255.0f;
+                    dst[3 * i + 1] = go * 255.0f;
+                    dst[3 * i + 2] = bo * 255.0f;
+                }
+                break;
+        }
+    }
+    for (int64_t i = 0; i < 3 * n; ++i)
+        dst[i] = std::min(std::max(dst[i], 0.0f), 255.0f);
+}
+
+// Additive gaussian pixel noise via Box-Muller on splitmix64 — the synthetic-
+// frame augmentation (datasets/ycb/dataset.py:166-167) applied crop-only.
+void df_gaussian_noise(float* img, int64_t n, float scale, uint64_t seed) {
+    uint64_t s = seed ? seed : 0xdeadbeefULL;
+    const float TWO_PI = 6.28318530717958647692f;
+    for (int64_t i = 0; i < n; i += 2) {
+        float u1 = (float)((splitmix64(&s) >> 11) * (1.0 / 9007199254740992.0));
+        float u2 = (float)((splitmix64(&s) >> 11) * (1.0 / 9007199254740992.0));
+        u1 = std::max(u1, 1e-12f);
+        float r = std::sqrt(-2.0f * std::log(u1)) * scale;
+        img[i] += r * std::cos(TWO_PI * u2);
+        if (i + 1 < n) img[i + 1] += r * std::sin(TWO_PI * u2);
+    }
+}
+
+int df_version() { return 2; }
 
 }  // extern "C"

@@ -19,6 +19,7 @@ def inputs():
     return img, pts, choose, obj
 
 
+@pytest.mark.slow
 def test_bf16_posenet_close_to_f32(inputs):
     img, pts, choose, obj = inputs
     m32 = PoseNet(num_obj=2)
@@ -34,6 +35,7 @@ def test_bf16_posenet_close_to_f32(inputs):
         assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
 
 
+@pytest.mark.slow
 def test_bf16_gradients_are_f32_and_nonzero(inputs):
     img, pts, choose, obj = inputs
     mbf = PoseNet(num_obj=2, dtype=jnp.bfloat16)

@@ -44,6 +44,7 @@ def trained_ckpt(tmp_path_factory):
     return root, path, out
 
 
+@pytest.mark.slow
 def test_eval_linemod_cli(trained_ckpt):
     root, ckpt, out = trained_ckpt
     rate = eval_linemod_cli.main([

@@ -17,6 +17,7 @@ from densefusion_tpu.cli import eval_cad as eval_cad_cli
 DIMS = (260, 554)
 
 
+@pytest.mark.slow
 def test_eval_cad_cli(tmp_path, monkeypatch):
     root = str(tmp_path / "cad")
     generate_cad_style_dataset(root, n_train=2, n_test=20, img_h=DIMS[0],

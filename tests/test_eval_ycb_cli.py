@@ -17,6 +17,7 @@ from densefusion_tpu.utils.config import RunConfig
 from densefusion_tpu.cli import eval_ycb as eval_ycb_cli
 
 
+@pytest.mark.slow
 def test_eval_ycb_cli(tmp_path):
     root = str(tmp_path / "ycb")
     posecnn = str(tmp_path / "posecnn")

@@ -25,6 +25,7 @@ def _batch(b=2, n=16, m=16, crop=32, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_multisteps_applies_every_k():
     import optax
     cfg = RunConfig(num_objects=2, num_points=16, crop_size=32, lr=1e-3)

@@ -30,5 +30,6 @@ def test_entry_compiles(graft):
     assert np.isfinite(np.asarray(c)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip(graft):
     graft.dryrun_multichip(8)  # raises on any sharding/compile failure

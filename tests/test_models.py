@@ -94,6 +94,7 @@ def test_posenet_shapes(posenet_setup):
     assert (c > 0).all() and (c < 1).all()
 
 
+@pytest.mark.slow
 def test_posenet_per_object_grad_isolation(posenet_setup):
     """Gradients must flow only into the selected object's head slice —
     the batched equivalent of index_select backprop (lib/network.py:123-126)."""
@@ -139,6 +140,7 @@ def test_refiner_shapes():
     assert out["pred_t"].shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_segnet_shapes_and_train_state():
     model = SegNet(num_classes=22)
     x = jnp.zeros((1, 64, 96, 3))

@@ -81,3 +81,78 @@ def test_remap_choose_matches_numpy():
     got = native.remap_choose(choose, 20, 20, 8, 8)
     want = remap_choose_to_resized(choose, 20, 20, 8, 8)
     np.testing.assert_array_equal(got, want)
+
+
+def _png_bytes(arr, mode=None):
+    import io
+    from PIL import Image
+    im = Image.fromarray(arr) if mode is None else Image.fromarray(arr, mode)
+    b = io.BytesIO()
+    im.save(b, "PNG")
+    return b.getvalue()
+
+
+def test_png_decode_parity_rgb_gray_rgba(rng):
+    import io
+    from PIL import Image
+    for arr in (rng.integers(0, 255, (48, 64, 3)).astype(np.uint8),
+                rng.integers(0, 255, (48, 64)).astype(np.uint8),
+                rng.integers(0, 255, (20, 16, 4)).astype(np.uint8)):
+        data = _png_bytes(arr)
+        got = native.decode_png(data)
+        want = np.array(Image.open(io.BytesIO(data)))
+        assert got is not None
+        assert got.dtype == want.dtype and got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+
+def test_png_decode_16bit_depth(rng):
+    import io
+    from PIL import Image
+    depth = rng.integers(0, 65535, (48, 64)).astype(np.uint16)
+    im = Image.new("I;16", (64, 48))
+    im.frombytes(depth.tobytes())
+    b = io.BytesIO()
+    im.save(b, "PNG")
+    got = native.decode_png(b.getvalue())
+    assert got is not None and got.dtype == np.uint16
+    np.testing.assert_array_equal(got, depth)
+
+
+def test_png_decode_palette_matches_pil_indices(rng):
+    import io
+    from PIL import Image
+    label = rng.integers(0, 22, (48, 64)).astype(np.uint8)
+    im = Image.fromarray(label).convert("P")
+    b = io.BytesIO()
+    im.save(b, "PNG")
+    got = native.decode_png(b.getvalue())
+    want = np.array(Image.open(io.BytesIO(b.getvalue())))
+    assert got is not None
+    np.testing.assert_array_equal(got, want)
+
+
+def test_png_decode_rejects_garbage():
+    assert native.decode_png(b"not a png at all, sorry") is None
+
+
+def test_color_jitter_native_matches_numpy(rng):
+    from densefusion_tpu.data.augment import jitter_params, apply_color_jitter
+    img = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+    ops, factors = jitter_params(rng)
+    got = native.color_jitter(img, ops, factors)
+    # numpy reference path (force by passing float input)
+    want = apply_color_jitter(img.astype(np.float64), (ops, factors))
+    np.testing.assert_allclose(got, want, atol=0.35)  # f32 vs f64 HSV paths
+
+
+def test_gaussian_noise_native_deterministic(rng):
+    base = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    a = native.gaussian_noise(base.copy(), 7.0, seed=123)
+    b = native.gaussian_noise(base.copy(), 7.0, seed=123)
+    c = native.gaussian_noise(base.copy(), 7.0, seed=124)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    resid = (a - base).ravel()
+    assert abs(resid.mean()) < 0.5
+    assert 6.0 < resid.std() < 8.0

@@ -41,6 +41,7 @@ def test_shard_batch_places_on_mesh(rng):
     assert all(s == (1, 16, 3) for s in shard_shapes)
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_matches_single(rng):
     """One jitted pose train step, batch sharded over 8 devices, must produce
     (numerically close) identical params to the unsharded run — XLA inserts

@@ -24,6 +24,7 @@ def seg_setup(rng_seed=0):
     return segnet, state, tx, rgb, label
 
 
+@pytest.mark.slow
 def test_seg_train_loss_decreases(seg_setup):
     segnet, state, tx, rgb, label = seg_setup
     step = make_seg_train_step(segnet, tx)
