@@ -24,6 +24,17 @@ def main(argv=None):
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--threshold_m", type=float, default=0.01,
                    help="mean NN distance above this fails the frame")
+    p.add_argument("--pose_source", choices=["permuted", "plain"],
+                   default="permuted",
+                   help="'plain' = pose_transform + location, the randomized"
+                        "-scene convention (test_randomize.py)")
+    p.add_argument("--depth_unit", choices=["tenth_mm", "normalized_10m"],
+                   default="tenth_mm",
+                   help="'normalized_10m' = 16-bit over a 10 m range "
+                        "(RoomDemo scenes, 3d_reconstruct_combo.py)")
+    p.add_argument("--check_quaternion", action="store_true",
+                   help="also verify quaternion_xyzw reproduces the "
+                        "permuted pose matrix (test_randomize.py QA)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -35,16 +46,26 @@ def main(argv=None):
     else:
         model = read_ply_vertices(args.model)
 
-    results = verify_scene(args.scene, model, max_frames=args.max_frames)
+    results = verify_scene(args.scene, model, max_frames=args.max_frames,
+                           pose_source=args.pose_source,
+                           depth_unit=args.depth_unit,
+                           check_quaternion=args.check_quaternion)
     n_fail = 0
     for r in results:
         status = r["status"]
         if status == "ok":
             ok = r["mean_nn_dist_m"] < args.threshold_m
+            quat = r.get("quaternion")
+            if quat is not None:
+                ok = ok and quat["consistent"]
             n_fail += not ok
+            extra = ""
+            if quat is not None:
+                extra = (f" quat {'OK' if quat['consistent'] else 'BAD'}"
+                         f" ({quat['max_abs_err']:.2e})")
             print(f"{r['frame']} {r['class']}: mean NN "
                   f"{r['mean_nn_dist_m'] * 1000:.2f} mm "
-                  f"{'PASS' if ok else 'FAIL'}")
+                  f"{'PASS' if ok else 'FAIL'}{extra}")
         else:
             print(f"{r['frame']} {r['class']}: {status}")
     print(json.dumps({"frames": len(results), "failures": n_fail}))

@@ -134,6 +134,15 @@ def generate_linemod_style_dataset(
         # position-based coloring so the CNN has signal
         pmin, pmax = model_mm.min(0), model_mm.max(0)
         colors = (40 + 210 * (model_mm - pmin) / (pmax - pmin)).astype(np.uint8)
+        if realism:
+            # stable procedural surface texture (same across frames — it is
+            # the OBJECT's texture): high-frequency sinusoid bands give the
+            # CNN orientation-discriminative detail beyond the color ramp
+            tex_freq = rng.standard_normal((3, 3)) * 0.35  # cycles/mm
+            tex_phase = rng.uniform(0, 2 * np.pi, 3)
+            tex = 28.0 * np.sin(model_mm @ tex_freq + tex_phase)
+            colors = np.clip(colors.astype(np.float64) + tex, 0,
+                             255).astype(np.uint8)
 
         gt = {}
         n_frames = n_train + n_test
@@ -159,6 +168,15 @@ def generate_linemod_style_dataset(
                 # per-frame illumination scale + slight color cast
                 illum = rng.uniform(0.6, 1.3) * rng.uniform(0.85, 1.15, 3)
                 frame_colors = np.clip(colors * illum, 0, 255).astype(np.uint8)
+                # sensor-dropout holes (the reference CAD generator's KD-tree
+                # radius deletion, cad_to_dataset.py:137-164, scaled to the
+                # ~50 mm object)
+                keep = delete_point_holes(pts_cam / 1000.0, rng,
+                                          max_holes=3,
+                                          hole_size_mean=0.008,
+                                          hole_size_std=0.003)
+                pts_cam = pts_cam[keep]
+                frame_colors = frame_colors[keep]
             rgb, depth, mask = _splat_render(pts_cam, frame_colors, img_h,
                                              img_w, cam)
             if realism:
@@ -187,6 +205,35 @@ def generate_linemod_style_dataset(
                 paint = d_mask & ~mask  # behind-target never steals pixels
                 rgb[paint] = d_rgb[paint]
                 depth = np.where(paint, d_depth, depth)
+
+                # partial FRONT occluder (<=35% of the object's pixels):
+                # the visible mask shrinks, like the reference's front-paste
+                # occlusion augmentation (datasets/ycb/dataset.py:116-137)
+                if rng.uniform() < 0.5:
+                    qo = rng.standard_normal(4)
+                    qo /= np.linalg.norm(qo)
+                    wo, xo, yo, zo = qo
+                    Ro = np.array([
+                        [1 - 2 * (yo * yo + zo * zo),
+                         2 * (xo * yo - wo * zo), 2 * (wo * yo + xo * zo)],
+                        [2 * (xo * yo + wo * zo),
+                         1 - 2 * (xo * xo + zo * zo),
+                         2 * (yo * zo - wo * xo)],
+                        [2 * (xo * zo - wo * yo), 2 * (wo * xo + yo * zo),
+                         1 - 2 * (xo * xo + yo * yo)]])
+                    t_o = t + np.array([
+                        rng.uniform(25, 60) * rng.choice([-1, 1]),
+                        rng.uniform(-25, 25), -rng.uniform(120, 220)])
+                    o_pts = distractor_mm * 0.6 @ Ro.T + t_o
+                    o_cols = np.full((len(o_pts), 3),
+                                     rng.integers(50, 210, 3), np.uint8)
+                    o_rgb, o_depth, o_mask = _splat_render(
+                        o_pts, o_cols, img_h, img_w, cam)
+                    hidden = o_mask & mask
+                    if 0 < hidden.sum() <= 0.35 * mask.sum():
+                        rgb[o_mask] = o_rgb[o_mask]
+                        depth = np.where(o_mask, o_depth, depth)
+                        mask = mask & ~o_mask
 
             Image.fromarray(rgb).save(
                 os.path.join(base, "rgb", f"{frame:04d}.png"))
@@ -344,9 +391,33 @@ def generate_ycb_style_dataset(root: str, n_classes: int = 3,
                           "rois": np.asarray(rois, np.float64)})
 
 
+def delete_point_holes(points_m: np.ndarray, rng: np.random.Generator,
+                       max_holes: int = 3, hole_size_mean: float = 0.03,
+                       hole_size_std: float = 0.01) -> np.ndarray:
+    """Sensor-dropout simulation: delete up to ``max_holes`` random radius
+    neighborhoods from a cloud — the KD-tree hole augmentation of the
+    reference's CAD data generator (``cad_to_dataset.py:137-164``).
+    points_m in meters; returns a boolean KEEP mask over the points."""
+    from scipy.spatial import cKDTree
+    keep = np.ones(len(points_m), bool)
+    n_holes = int(rng.integers(max_holes))  # np.random.randint(max_holes)
+    if n_holes == 0:
+        return keep
+    tree = cKDTree(points_m)
+    for _ in range(n_holes):
+        center = points_m[int(rng.integers(len(points_m)))]
+        radius = max(0.0, float(rng.normal(hole_size_mean, hole_size_std)))
+        idx = tree.query_ball_point(center, radius)
+        keep[idx] = False
+    if not keep.any():
+        keep[:] = True  # degenerate: everything deleted — skip augmentation
+    return keep
+
+
 def generate_cad_style_dataset(root: str, n_train: int = 6, n_test: int = 20,
                                img_h: int = 260, img_w: int = 554,
-                               seed: int = 0, obj: int = 1) -> None:
+                               seed: int = 0, obj: int = 1,
+                               hole_augment: bool = False) -> None:
     """Write a miniature customCAD (Unity-render) dataset tree that
     :class:`densefusion_tpu.data.cad.CADDataset` consumes — the role of the
     reference's CAD generation pipeline (``datasets/customCAD/
@@ -411,8 +482,13 @@ def generate_cad_style_dataset(root: str, n_train: int = 6, n_test: int = 20,
         t_units = t_m * 10000.0
         posed = model_units @ R.T + t_units  # camera frame, 0.1 mm units
 
-        rgb, depth_units, mask = _splat_render(posed, colors, img_h, img_w,
-                                               _Cam, splat=2)
+        frame_colors = colors
+        if hole_augment:  # sensor-dropout holes (cad_to_dataset.py:137-164)
+            keep = delete_point_holes(posed / 10000.0, rng)
+            posed = posed[keep]
+            frame_colors = colors[keep]
+        rgb, depth_units, mask = _splat_render(posed, frame_colors, img_h,
+                                               img_w, _Cam, splat=2)
         # encode reversed non-linear z: dval = -d/z - c, png = (1-dval)*65534
         z = depth_units.astype(np.float64)
         dval = np.where(mask, -d / np.maximum(z, 1.0) - c, 0.0)
@@ -563,6 +639,11 @@ def generate_fat_style_scene(scene_dir: str, n_frames: int = 2,
         ann = {"objects": [{
             "class": "synth_obj",
             "pose_transform_permuted": pose_m.tolist(),
+            # plain-pose convention of the randomized scenes: same matrix
+            # recipe under test_randomize.py's decode, translation carried
+            # in 'location' (cm)
+            "pose_transform": pose_m.tolist(),
+            "location": (t * FAT_CM).tolist(),
             "quaternion_xyzw": [x_, y_, z_, w_],
             "bounding_box": {"top_left": [0, 0],
                              "bottom_right": [img_h, img_w]},

@@ -111,7 +111,10 @@ def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
     # Boundary: the true conv zero-pads the UPSAMPLED map, so taps at
     # upsampled coords -1 / 2h / -1 / 2w must contribute 0 — but the uniform
     # formula gave them clamped values. Subtract those phantom contributions
-    # from the outermost ring (inclusion-exclusion adds corners back).
+    # from the outermost ring. All heavy-tensor work is two concat
+    # assemblies; the inclusion-exclusion corner add-backs are folded into
+    # the SMALL per-edge correction vectors (eight .at scatters on the full
+    # output tensor measured 1-12 ms/stage — docs/PERF.md round 2).
     def ring(vrow, wrow):                                 # vrow: (B, 2n+2, C)
         win = jnp.stack([vrow[:, :-2], vrow[:, 1:-1], vrow[:, 2:]], axis=2)
         return jnp.einsum("bxjc,jcd->bxd", win, wrow.astype(vrow.dtype))
@@ -120,16 +123,28 @@ def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
     bot = _edge_upsample_1d(x[:, -1], axis=1)             # U[2h, ...]
     left = _edge_upsample_1d(x[:, :, 0], axis=1)          # U[-1:2h+1, -1]
     right = _edge_upsample_1d(x[:, :, -1], axis=1)
-    y = y.at[:, 0].add(-ring(top, kernel[0]))
-    y = y.at[:, -1].add(-ring(bot, kernel[2]))
-    y = y.at[:, :, 0].add(-ring(left, kernel[:, 0]))
-    y = y.at[:, :, -1].add(-ring(right, kernel[:, 2]))
-    # corners were subtracted twice; add the doubly-removed tap back
+    corr_top = ring(top, kernel[0])                       # (B, 2w, C)
+    corr_bot = ring(bot, kernel[2])
+    corr_left = ring(left, kernel[:, 0])                  # (B, 2h, C)
+    corr_right = ring(right, kernel[:, 2])
     kc = kernel.astype(x.dtype)
-    y = y.at[:, 0, 0].add(jnp.einsum("bc,cd->bd", x[:, 0, 0], kc[0, 0]))
-    y = y.at[:, 0, -1].add(jnp.einsum("bc,cd->bd", x[:, 0, -1], kc[0, 2]))
-    y = y.at[:, -1, 0].add(jnp.einsum("bc,cd->bd", x[:, -1, 0], kc[2, 0]))
-    y = y.at[:, -1, -1].add(jnp.einsum("bc,cd->bd", x[:, -1, -1], kc[2, 2]))
+    # each corner tap appears in one row AND one col correction; remove the
+    # duplicate from the column vectors so it is subtracted exactly once
+    corr_left = corr_left.at[:, 0].add(
+        -jnp.einsum("bc,cd->bd", x[:, 0, 0], kc[0, 0]))
+    corr_left = corr_left.at[:, -1].add(
+        -jnp.einsum("bc,cd->bd", x[:, -1, 0], kc[2, 0]))
+    corr_right = corr_right.at[:, 0].add(
+        -jnp.einsum("bc,cd->bd", x[:, 0, -1], kc[0, 2]))
+    corr_right = corr_right.at[:, -1].add(
+        -jnp.einsum("bc,cd->bd", x[:, -1, -1], kc[2, 2]))
+
+    y = jnp.concatenate([y[:, :, :1] - corr_left[:, :, None],
+                         y[:, :, 1:-1],
+                         y[:, :, -1:] - corr_right[:, :, None]], axis=2)
+    y = jnp.concatenate([y[:, :1] - corr_top[:, None],
+                         y[:, 1:-1],
+                         y[:, -1:] - corr_bot[:, None]], axis=1)
     return y
 
 

@@ -57,9 +57,98 @@ class DenseFusionFeat(nn.Module):
         return jnp.concatenate([feat1, feat2, global_feat], axis=-1)  # 1408
 
 
+_HEAD_WIDTHS = (640, 256, 128)   # lib/network.py:77-91
+
+
+def _quat_bias_init(num_obj):
+    def bias_init(key, shape, dtype=jnp.float32):
+        # start all hypotheses at the identity quaternion
+        b = jnp.zeros(shape, dtype)
+        return b.reshape(num_obj, 4).at[:, 0].set(1.0).reshape(shape)
+    return bias_init
+
+
+class _DenseParams(nn.Module):
+    """Bare Dense parameters (same tree as ``nn.Dense``: kernel + bias)."""
+
+    features: int
+    kernel_init: object = nn.initializers.lecun_normal()
+    bias_init: object = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        return kernel, bias
+
+
+def _declare_head_params(module: nn.Module, in_features: int, num_obj: int,
+                         out_dim: int, identity_quat_bias: bool):
+    """Declare one head stack's parameters as children fc1..fc4 of
+    ``module`` — tree-identical to four named Dense layers, so checkpoints
+    and the torch importer see the original per-head structure. Must be
+    called from inside ``module``'s compact ``__call__``."""
+    layers = []
+    d = in_features
+    for i, width in enumerate(_HEAD_WIDTHS, start=1):
+        layers.append(_DenseParams(width, name=f"fc{i}",
+                                   parent=module)(d))
+        d = width
+    # small-scale output init: hypotheses start near (identity quat,
+    # zero offset) so the initial ADD distance is at object scale,
+    # keeping the confidence optimum interior (c* = w/dis)
+    layers.append(_DenseParams(
+        num_obj * out_dim, name="fc4", parent=module,
+        kernel_init=nn.initializers.variance_scaling(
+            0.01, "fan_in", "truncated_normal"),
+        bias_init=(_quat_bias_init(num_obj) if identity_quat_bias
+                   else nn.initializers.zeros))(d))
+    return layers
+
+
+class _HeadParams(nn.Module):
+    """One head stack's parameter container (children fc1..fc4)."""
+
+    num_obj: int
+    out_dim: int
+    identity_quat_bias: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _declare_head_params(self, in_features, self.num_obj,
+                                    self.out_dim, self.identity_quat_bias)
+
+
+def apply_head_stacks(feat, heads, num_obj, out_dims, dtype=None):
+    """Run N head stacks over shared input with layer 1 MERGED into one
+    matmul: ``feat`` (B, N, F) is the largest activation in the model and
+    three separate 1408->640 Dense layers read it three times — one
+    (F, 3*640) matmul reads it once (the heads' HBM cost dominates their
+    FLOPs; docs/PERF.md round 2). Layers 2-4 stay per-head (small inputs).
+    Returns one (B, N, num_obj, out_dim) per head.
+    """
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    k1 = jnp.concatenate([cast(h[0][0]) for h in heads], axis=1)
+    b1 = jnp.concatenate([cast(h[0][1]) for h in heads])
+    y = nn.relu(cast(feat) @ k1 + b1)                  # (B, N, 3*640)
+
+    outs = []
+    width = _HEAD_WIDTHS[0]
+    for idx, (head, out_dim) in enumerate(zip(heads, out_dims)):
+        x = y[..., idx * width:(idx + 1) * width]
+        for k, b in head[1:-1]:
+            x = nn.relu(x @ cast(k) + cast(b))
+        k, b = head[-1]
+        x = x @ cast(k) + cast(b)
+        outs.append(x.reshape(x.shape[:-1] + (num_obj, out_dim)))
+    return outs
+
+
 class _HeadStack(nn.Module):
-    """1408 -> 640 -> 256 -> 128 -> num_obj*out_dim head
-    (``lib/network.py:77-91,107-121``)."""
+    """Single 1408 -> 640 -> 256 -> 128 -> num_obj*out_dim head
+    (``lib/network.py:77-91,107-121``) — the unmerged reference formulation,
+    kept for equivalence tests against :func:`apply_head_stacks`."""
 
     num_obj: int
     out_dim: int
@@ -68,24 +157,15 @@ class _HeadStack(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        d = dict(dtype=self.dtype)
-        x = nn.relu(nn.Dense(640, name="fc1", **d)(x))
-        x = nn.relu(nn.Dense(256, name="fc2", **d)(x))
-        x = nn.relu(nn.Dense(128, name="fc3", **d)(x))
-
-        def bias_init(key, shape, dtype=jnp.float32):
-            b = jnp.zeros(shape, dtype)
-            if self.identity_quat_bias:  # start all hypotheses at identity
-                b = b.reshape(self.num_obj, 4).at[:, 0].set(1.0).reshape(shape)
-            return b
-
-        # small-scale output init: hypotheses start near (identity quat,
-        # zero offset) so the initial ADD distance is at object scale,
-        # keeping the confidence optimum interior (c* = w/dis)
-        x = nn.Dense(self.num_obj * self.out_dim, name="fc4",
-                     kernel_init=nn.initializers.variance_scaling(
-                         0.01, "fan_in", "truncated_normal"),
-                     bias_init=bias_init, **d)(x)
+        params = _declare_head_params(self, x.shape[-1], self.num_obj,
+                                      self.out_dim, self.identity_quat_bias)
+        cast = (lambda a: a.astype(self.dtype)) if self.dtype is not None \
+            else (lambda a: a)
+        x = cast(x)
+        for k, b in params[:-1]:
+            x = nn.relu(x @ cast(k) + cast(b))
+        k, b = params[-1]
+        x = x @ cast(k) + cast(b)
         return x.reshape(x.shape[:-1] + (self.num_obj, self.out_dim))
 
 
@@ -142,10 +222,15 @@ class PoseNet(nn.Module):
         feat = DenseFusionFeat(dtype=self.dtype,
                                name="fusion")(points, emb)    # (B, N, 1408)
 
-        rx = _HeadStack(self.num_obj, 4, dtype=self.dtype,
-                        identity_quat_bias=True, name="head_r")(feat)
-        tx = _HeadStack(self.num_obj, 3, dtype=self.dtype, name="head_t")(feat)
-        cx = _HeadStack(self.num_obj, 1, dtype=self.dtype, name="head_c")(feat)
+        f = feat.shape[-1]
+        heads = [
+            _HeadParams(self.num_obj, 4, identity_quat_bias=True,
+                        name="head_r")(f),
+            _HeadParams(self.num_obj, 3, name="head_t")(f),
+            _HeadParams(self.num_obj, 1, name="head_c")(f),
+        ]
+        rx, tx, cx = apply_head_stacks(feat, heads, self.num_obj, (4, 3, 1),
+                                       dtype=self.dtype)
 
         pred_r = select_object(rx, obj).astype(jnp.float32)
         pred_t = select_object(tx, obj).astype(jnp.float32)

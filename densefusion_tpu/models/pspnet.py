@@ -178,8 +178,11 @@ class PSPNet(nn.Module):
                       dtype=self.dtype, name="psp")(f)
         p = Dropout2d(self.drop1, name="drop1")(p, deterministic=not train)
 
-        p = PSPUpsample(256, dtype=self.dtype, fused=self.fused_decoder,
-                        name="up1")(p)
+        # up1 (1024->256) is MXU-bound: the phase conv has identical FLOPs
+        # and measured slightly SLOWER than resize+conv there, while up2/up3
+        # are HBM-bound and the phase conv halves them (docs/PERF.md round-2
+        # stage table) — so up1 stays dense, up2/up3 follow fused_decoder.
+        p = PSPUpsample(256, dtype=self.dtype, fused=False, name="up1")(p)
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
         p = PSPUpsample(64, dtype=self.dtype, fused=self.fused_decoder,
                         name="up2")(p)

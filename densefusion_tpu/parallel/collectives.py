@@ -1,14 +1,22 @@
-"""Explicit collectives: mesh-sharded nearest-neighbour reduction and metric
+"""Explicit collectives: mesh-sharded nearest-neighbour reductions and metric
 reductions.
 
 The ADD-S 1-NN is the one reduction in this workload that can outgrow a chip
-(bs·N hypotheses x M reference points; SURVEY.md §5.7). Here the REFERENCE
-axis is sharded over the mesh: every device computes a running (min, argmin)
-against its local reference shard — the same streaming kernel as on-chip —
-and the global winner is resolved with one ``all_gather`` of (distance,
-index) pairs per query. This is the ring-attention analog with ``min``
-replacing softmax accumulation (the all_gather of 2 scalars per query is the
-cheap part; the N·M distance work stays fully sharded).
+(bs·N hypotheses x M reference points; SURVEY.md §5.7). Two shardings:
+
+* :func:`sharded_nearest_neighbor` — REFERENCE axis sharded, queries
+  replicated: every device computes a running (min, argmin) against its local
+  reference shard and the global winner per query is resolved with two
+  ``pmin`` collectives (min distance, then min index achieving it) — outputs
+  are provably replicated, so the shard_map replication checker stays ON.
+* :func:`ring_nearest_neighbor` — BOTH axes sharded: each device keeps its
+  query shard and the reference tiles rotate around the ring via
+  ``ppermute`` with a running (min, argmin) carried per local query — the
+  ring-attention analog with ``min`` replacing softmax accumulation
+  (SURVEY.md §5.7); per-device memory is O(Q/S + R/S), never the full R.
+
+Non-divisible axes are handled by sentinel padding (far-away points that can
+never win the argmin), so any Q/R works on any mesh size.
 """
 
 from __future__ import annotations
@@ -22,38 +30,102 @@ from jax import shard_map
 
 from densefusion_tpu.ops.knn import nearest_neighbor
 
+# Padded reference rows sit at this coordinate: squared distance ~1e30 — huge
+# but finite (inf coords would make the kernel's ‖q‖²−2qr+‖r‖² produce NaN).
+_SENTINEL = 1.0e15
+
+
+def _pad_axis0(x: jax.Array, multiple: int, value: float):
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    return jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], value, x.dtype)]), n
+
 
 def sharded_nearest_neighbor(query: jax.Array, ref: jax.Array, mesh: Mesh,
                              axis: str = "data",
                              backend: str = "auto"):
     """1-NN with the reference axis sharded over ``mesh``.
 
-    query: (Q, 3) replicated; ref: (R, 3) — R must divide by the axis size.
-    Returns (sq_dist (Q,), idx (Q,)) with GLOBAL 0-based indices into ref.
+    query: (Q, 3) replicated; ref: (R, 3), any R (sentinel-padded to the mesh
+    size). Returns (sq_dist (Q,), idx (Q,)) with GLOBAL 0-based indices into
+    ref. Exact ties across shards resolve to the smallest global index.
     """
     n_shards = mesh.shape[axis]
-    shard_size = ref.shape[0] // n_shards
+    ref_padded, _ = _pad_axis0(ref.astype(jnp.float32), n_shards, _SENTINEL)
+    shard_size = ref_padded.shape[0] // n_shards
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        # the all_gather+argmin makes outputs replicated; the static
-        # replication checker can't see that through take_along_axis
-        check_vma=False,
     )
     def inner(q, r_local):
         d, i = nearest_neighbor(q, r_local, backend=backend)
         my_shard = jax.lax.axis_index(axis)
         i_global = i + my_shard * shard_size
-        # gather per-shard candidates, pick the global winner per query
-        d_all = jax.lax.all_gather(d, axis)        # (S, Q)
-        i_all = jax.lax.all_gather(i_global, axis)  # (S, Q)
-        best = jnp.argmin(d_all, axis=0)           # (Q,)
-        return (jnp.take_along_axis(d_all, best[None], axis=0)[0],
-                jnp.take_along_axis(i_all, best[None], axis=0)[0])
+        # two-step replicated merge: global min distance, then the smallest
+        # global index attaining it (pmin outputs are device-invariant, so
+        # the replication checker accepts P() outputs)
+        d = jnp.maximum(d, 0.0)
+        d_best = jax.lax.pmin(d, axis)                       # (Q,)
+        i_cand = jnp.where(d == d_best, i_global, jnp.int32(2 ** 31 - 1))
+        i_best = jax.lax.pmin(i_cand, axis)                  # (Q,)
+        return d_best, i_best
 
-    return inner(query, ref)
+    return inner(query.astype(jnp.float32), ref_padded)
+
+
+def ring_nearest_neighbor(query: jax.Array, ref: jax.Array, mesh: Mesh,
+                          axis: str = "data",
+                          backend: str = "auto"):
+    """1-NN with BOTH the query and reference axes sharded (SURVEY.md §5.7).
+
+    Each device holds Q/S queries and one R/S reference tile; tiles rotate
+    S times around the ICI ring (``ppermute``) with a running (min, argmin)
+    per local query. query (Q, 3), ref (R, 3) — any sizes. Returns replicated
+    (sq_dist (Q,), idx (Q,)); distances exact squared L2, indices global.
+    """
+    n_shards = mesh.shape[axis]
+    q_padded, num_q = _pad_axis0(query.astype(jnp.float32), n_shards, 0.0)
+    ref_padded, _ = _pad_axis0(ref.astype(jnp.float32), n_shards, _SENTINEL)
+    shard_size = ref_padded.shape[0] // n_shards
+    perm = [(j, (j - 1) % n_shards) for j in range(n_shards)]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def inner(q_local, r_local):
+        me = jax.lax.axis_index(axis)
+
+        def step(s, carry):
+            best_d, best_i, tile = carry
+            owner = jax.lax.rem(me + s, n_shards)  # whose shard we hold now
+            d, i = nearest_neighbor(q_local, tile, backend=backend)
+            gi = (i + owner * shard_size).astype(jnp.int32)
+            # merge; exact ties resolve to the smaller global index so the
+            # result does not depend on rotation order
+            take = (d < best_d) | ((d == best_d) & (gi < best_i))
+            best_d = jnp.where(take, d, best_d)
+            best_i = jnp.where(take, gi, best_i)
+            tile = jax.lax.ppermute(tile, axis, perm)
+            return best_d, best_i, tile
+
+        nq = q_local.shape[0]
+        # constants are VMA-unvarying; the carry becomes device-varying, so
+        # mark the init accordingly for the replication checker
+        init = (jax.lax.pvary(jnp.full((nq,), jnp.inf, jnp.float32), axis),
+                jax.lax.pvary(jnp.full((nq,), 2 ** 31 - 1, jnp.int32), axis),
+                r_local)
+        best_d, best_i, _ = jax.lax.fori_loop(0, n_shards, step, init)
+        return best_d, best_i
+
+    d, i = inner(q_padded, ref_padded)
+    return d[:num_q], i[:num_q]
 
 
 def psum_mean(x: jax.Array, axis: str = "data") -> jax.Array:

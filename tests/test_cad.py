@@ -2,6 +2,7 @@
 decode + ray-map unprojection consistency, pose decode (left-handed quats +
 y-180 fixup), sample schema."""
 
+import os
 import numpy as np
 import pytest
 
@@ -60,3 +61,61 @@ def test_raymap_linearize_roundtrip(cad_root):
     png = np.round((1.0 - dval) * 65534.0).astype(np.uint16)
     z_back = rm.linearize(png)
     np.testing.assert_allclose(z_back, z, rtol=1e-3)
+
+
+def test_cad_prep_tools_regenerate_masks_and_split(tmp_path):
+    """Standalone prep CLIs (mask_generator/train_test_generator parity):
+    wipe the generated masks + split files, regenerate them with cad_prep,
+    and check the dataset still loads valid samples."""
+    import shutil
+    from densefusion_tpu.cli import cad_prep
+    from densefusion_tpu.data.cad import CADDataset
+
+    root = str(tmp_path / "cad")
+    generate_cad_style_dataset(root, n_train=3, n_test=2, seed=1)
+    base = os.path.join(root, "data", "01")
+    shutil.rmtree(os.path.join(base, "mask"))
+    os.remove(os.path.join(base, "train.txt"))
+    os.remove(os.path.join(base, "test.txt"))
+
+    n = cad_prep.main(["masks", "--root", root])
+    assert n == 5
+    split = cad_prep.main(["split", "--root", root,
+                           "--train_percent", "60", "--seed", "3"])
+    assert split["01"] == (3, 2)
+    ds = CADDataset(root, mode="train", add_noise=False,
+                    image_dims=(260, 554))
+    assert len(ds) == 3
+    s = ds[0]
+    assert bool(s.valid)
+    d = np.linalg.norm(s.points[:, None] - s.target[None], axis=-1).min(1)
+    assert d.mean() < 0.01
+
+
+def test_cad_hole_augmentation(tmp_path):
+    """cad_to_dataset.py:137-164 parity: radius-hole deletion drops points
+    but every remaining depth pixel still backprojects onto the target."""
+    from densefusion_tpu.data.synthetic import delete_point_holes
+    from densefusion_tpu.data.cad import CADDataset
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-0.05, 0.05, (5000, 3))
+    keeps = [delete_point_holes(pts, np.random.default_rng(s))
+             for s in range(8)]
+    assert any(k.sum() < len(pts) for k in keeps)  # some seed carves a hole
+    assert all(k.any() for k in keeps)
+
+    root = str(tmp_path / "cad")
+    generate_cad_style_dataset(root, n_train=3, n_test=2, seed=2,
+                               hole_augment=True)
+    ds = CADDataset(root, mode="train", add_noise=False,
+                    image_dims=(260, 554))
+    ok = 0
+    for i in range(len(ds)):
+        s = ds[i]
+        if not bool(s.valid):
+            continue
+        d = np.linalg.norm(s.points[:, None] - s.target[None], axis=-1).min(1)
+        assert d.mean() < 0.01
+        ok += 1
+    assert ok >= 2

@@ -165,3 +165,35 @@ def test_resnet_variants_compile(variant, out_ch):
     f4, f3 = model.apply(params, x)
     assert f4.shape == (1, 4, 4, out_ch)
 
+
+
+def test_merged_heads_equal_separate_stacks(rng):
+    """apply_head_stacks (layer-1-merged) must equal the three independent
+    _HeadStack applications parameter-for-parameter."""
+    import jax
+    import jax.numpy as jnp
+    from densefusion_tpu.models import PoseNet
+    from densefusion_tpu.models.posenet import _HeadStack
+
+    num_obj = 3
+    model = PoseNet(num_obj=num_obj)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    pts = jnp.asarray(rng.standard_normal((1, 16, 3)), jnp.float32)
+    choose = jnp.zeros((1, 16), jnp.int32)
+    obj = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.key(0), img, pts, choose, obj)
+
+    feat = jnp.asarray(rng.standard_normal((2, 10, 1408)), jnp.float32)
+    from densefusion_tpu.models.posenet import apply_head_stacks
+    heads_params = [params["params"][n] for n in ("head_r", "head_t",
+                                                  "head_c")]
+    heads = [[(p[f"fc{i}"]["kernel"], p[f"fc{i}"]["bias"])
+              for i in range(1, 5)] for p in heads_params]
+    rx, tx, cx = apply_head_stacks(feat, heads, num_obj, (4, 3, 1))
+
+    for got, name, out_dim in ((rx, "head_r", 4), (tx, "head_t", 3),
+                               (cx, "head_c", 1)):
+        want = _HeadStack(num_obj, out_dim).apply(
+            {"params": params["params"][name]}, feat)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

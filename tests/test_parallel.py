@@ -99,3 +99,40 @@ def test_replicate(rng):
     tree = {"w": jnp.ones((4, 4))}
     rep = replicate(tree, mesh)
     assert rep["w"].sharding.is_fully_replicated
+
+
+def test_sharded_knn_non_divisible_ref(rng):
+    """M=2600 (the YCB refine-phase mesh cloud) does not divide 8 — the
+    sentinel padding must keep results exact (VERDICT round-1 weak #5)."""
+    from densefusion_tpu.parallel.collectives import sharded_nearest_neighbor
+    mesh = make_mesh()
+    q = jnp.asarray(rng.standard_normal((130, 3)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((2600, 3)), jnp.float32)
+    d_ref, i_ref = nearest_neighbor_xla(q, r)
+    d, i = sharded_nearest_neighbor(q, r, mesh, backend="xla")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+
+
+def test_ring_knn_matches_single_device(rng):
+    """Ring-pass variant (query+ref both sharded, tiles rotated by ppermute,
+    SURVEY.md §5.7) at M=2600 on the 8-device CPU mesh."""
+    from densefusion_tpu.parallel.collectives import ring_nearest_neighbor
+    mesh = make_mesh()
+    q = jnp.asarray(rng.standard_normal((101, 3)), jnp.float32)  # non-div Q
+    r = jnp.asarray(rng.standard_normal((2600, 3)), jnp.float32)
+    d_ref, i_ref = nearest_neighbor_xla(q, r)
+    d, i = ring_nearest_neighbor(q, r, mesh, backend="xla")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+
+
+def test_ring_knn_tiny_ref_fewer_than_shards(rng):
+    from densefusion_tpu.parallel.collectives import ring_nearest_neighbor
+    mesh = make_mesh()
+    q = jnp.asarray(rng.standard_normal((17, 3)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((5, 3)), jnp.float32)  # R < 8 shards
+    d_ref, i_ref = nearest_neighbor_xla(q, r)
+    d, i = ring_nearest_neighbor(q, r, mesh, backend="xla")
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
