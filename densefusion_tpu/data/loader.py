@@ -63,11 +63,28 @@ class BatchLoader:
             for idx in batches:
                 yield self.collate_fn([self.dataset[int(i)] for i in idx])
             return
+        # sliding-window submission: the next batches' samples assemble in
+        # the pool WHILE the current batch is collated/consumed — a per-batch
+        # pool.map barrier serialized collate against assembly and capped
+        # throughput well below the pool's sample rate
+        ahead = 2
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for idx in batches:
-                samples = list(pool.map(self.dataset.__getitem__,
-                                        [int(i) for i in idx]))
-                yield self.collate_fn(samples)
+            pending: list[list] = []
+            next_batch = 0
+
+            def submit(idx):
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in idx]
+
+            while next_batch < len(batches) and len(pending) <= ahead:
+                pending.append(submit(batches[next_batch]))
+                next_batch += 1
+            while pending:
+                futs = pending.pop(0)
+                if next_batch < len(batches):
+                    pending.append(submit(batches[next_batch]))
+                    next_batch += 1
+                yield self.collate_fn([f.result() for f in futs])
 
     def __iter__(self):
         return self.epoch(0)

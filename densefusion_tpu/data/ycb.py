@@ -115,6 +115,8 @@ class YCBDataset:
         so the occluded object's visible mask shrinks. Jitter is applied once
         on the final crop (assemble_sample) rather than per source frame —
         full-frame HSV jitter x3 was the loader's dominant cost."""
+        from densefusion_tpu import native
+        use_native = native.loader_kernels_supported()
         for _ in range(5):
             seed_frame = self.syn[rng.integers(len(self.syn))]
             c_path, _, l_path, _ = self._frame_paths(seed_frame)
@@ -127,10 +129,16 @@ class YCBDataset:
             if len(ids) < 2:
                 continue
             pick = rng.choice(ids, size=2, replace=False)
-            mask_front = ~np.isin(f_label, pick)  # True where NOT occluded
-            t_label = label * mask_front
-            if (t_label != 0).sum() > 1000:
-                return t_label, mask_front, front
+            if use_native:   # one GIL-free pass (runtime/dfnative.cpp)
+                t_label, mask_front, count = native.apply_front(
+                    label, f_label, int(pick[0]), int(pick[1]))
+                if count > 1000:
+                    return t_label, mask_front, front
+            else:
+                mask_front = ~np.isin(f_label, pick)  # True = NOT occluded
+                t_label = label * mask_front
+                if (t_label != 0).sum() > 1000:
+                    return t_label, mask_front, front
         return label, None, None
 
     def __getitem__(self, index: int) -> PoseSample:
@@ -148,30 +156,46 @@ class YCBDataset:
         if self.add_noise:
             label, mask_front, front = self._composite_front(label, rng)
 
+        from densefusion_tpu import native
+        use_native = native.loader_kernels_supported() \
+            and depth.dtype == np.uint16 and label.dtype == np.uint8
+
         objs = meta["cls_indexes"].flatten().astype(np.int32)
-        mask_depth = depth != 0
 
         # random object with enough valid pixels (dataset.py:141-147)
         order = rng.permutation(len(objs))
         pick = None
-        for k in order:
-            mask_label = label == objs[k]
-            if (mask_label & mask_depth).sum() > self.minimum_num_pt:
-                pick = k
-                break
+        if use_native:
+            counts = native.label_depth_hist(label, depth)
+            for k in order:
+                if counts[objs[k]] > self.minimum_num_pt:
+                    pick = k
+                    break
+        else:
+            mask_depth = depth != 0
+            for k in order:
+                mask_label = label == objs[k]
+                if (mask_label & mask_depth).sum() > self.minimum_num_pt:
+                    pick = k
+                    break
         if pick is None:
             return PoseSample.invalid(self.num_points, self.num_mesh,
                                       self.crop_size)
         obj_id = int(objs[pick])
-        mask_label = label == obj_id
-        mask = mask_label & mask_depth
+        if use_native:
+            # one pass: label mask, depth-valid mask, tight bbox
+            mask_label, mask, bbox, _ = native.object_mask(label, depth,
+                                                           obj_id)
+        else:
+            mask_label = label == obj_id
+            mask = mask_label & (depth != 0)
+            bbox = bbox_from_mask(mask_label, largest_component=False)
 
         back = None
         if is_syn:  # real background behind the render (dataset.py:155-159)
             back_frame = self.real[rng.integers(len(self.real))]
             back = self.cache.load(self._frame_paths(back_frame)[0])[..., :3]
 
-        bbox = bbox_from_mask(mask_label, largest_component=False)
         if bbox is None:
             return PoseSample.invalid(self.num_points, self.num_mesh,
                                       self.crop_size)
@@ -186,10 +210,19 @@ class YCBDataset:
         def crop_fn(rmin, rmax, cmin, cmax):
             win = np.s_[rmin:rmax, cmin:cmax]
             crop = rgb[win]
-            if back is not None:
-                crop = np.where((label[win] == 0)[..., None], back[win], crop)
-            if mask_front is not None:
-                crop = np.where(mask_front[win][..., None], crop, front[win])
+            if use_native and (back is not None or mask_front is not None):
+                crop = native.compose_crop(
+                    crop, None if back is None else back[win],
+                    None if back is None else label[win],
+                    None if mask_front is None else front[win],
+                    None if mask_front is None else mask_front[win])
+            else:
+                if back is not None:
+                    crop = np.where((label[win] == 0)[..., None], back[win],
+                                    crop)
+                if mask_front is not None:
+                    crop = np.where(mask_front[win][..., None], crop,
+                                    front[win])
             if jitter is not None:
                 crop = apply_color_jitter(crop, jitter)
             if is_syn:

@@ -78,17 +78,25 @@ def _edge_upsample_1d(v: jax.Array, axis: int) -> jax.Array:
 
 
 def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
-                           bias: jax.Array) -> jax.Array:
-    """Fused ``conv3x3(pad0(resize_bilinear(x, 2x)))`` as ONE half-res conv.
+                           bias: jax.Array,
+                           border: str = "zero") -> jax.Array:
+    """Fused ``conv3x3(pad(resize_bilinear(x, 2x)))`` as ONE half-res conv.
 
     Exactly equal (incl. borders) to upsampling x (B, h, w, Cin) 2x with the
-    half-pixel bilinear convention, zero-padding by 1, and a VALID 3x3 conv —
+    half-pixel bilinear convention, padding by 1, and a VALID 3x3 conv —
     but computed as a phase (sub-pixel) convolution: the 4 output parity
     classes each see a 3x3 neighborhood of the HALF-res input, with kernels
     ``K[py,px] = M_py^T W M_px`` composed from the fixed bilinear tap weights.
     Same MXU FLOPs as the full-res conv, 1/4 the conv input HBM traffic, and
     the 4x-larger upsampled intermediate never exists (docs/PERF.md: the
     decoder resizes were the PSPNet bottleneck).
+
+    ``border``: how the conv pads the (virtual) upsampled map. "replicate"
+    is the native semantics of the phase formulation — the uniform formula
+    over an edge-padded input IS a replicate-padded conv, zero extra cost.
+    "zero" reproduces torch-style zero padding exactly by subtracting the
+    phantom border-tap contributions (two concat assemblies, measured
+    1-5 ms/stage at batch 64 — prefer "replicate" on the hot path).
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
@@ -107,6 +115,8 @@ def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
     y = y + jnp.tile(bias.astype(y.dtype), 4)
     y = y.reshape(b, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * w, cout)                  # depth-to-space
+    if border == "replicate":
+        return y
 
     # Boundary: the true conv zero-pads the UPSAMPLED map, so taps at
     # upsampled coords -1 / 2h / -1 / 2w must contribute 0 — but the uniform

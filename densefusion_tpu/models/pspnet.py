@@ -77,6 +77,7 @@ class PSPUpsample(nn.Module):
     features: int
     dtype: type | None = None
     fused: bool = True
+    border: str = "replicate"   # decoder conv padding; see PSPNet
 
     @nn.compact
     def __call__(self, x):
@@ -86,19 +87,20 @@ class PSPUpsample(nn.Module):
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
         if self.fused:
-            x = phase_upsample_conv3x3(x, kernel, bias)
+            x = phase_upsample_conv3x3(x, kernel, bias, border=self.border)
         else:
             h, w = x.shape[-3], x.shape[-2]
             x = resize_bilinear(x, (2 * h, 2 * w))
+            pad_mode = "edge" if self.border == "replicate" else "constant"
+            x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=pad_mode)
             x = jax.lax.conv_general_dilated(
-                x, kernel, window_strides=(1, 1),
-                padding=[(1, 1), (1, 1)],
+                x, kernel, window_strides=(1, 1), padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
         return PReLU(name="prelu")(x)
 
 
-def sparse_upsample_taps(x: jax.Array, rows: jax.Array,
-                         cols: jax.Array) -> jax.Array:
+def sparse_upsample_taps(x: jax.Array, rows: jax.Array, cols: jax.Array,
+                         border: str = "zero") -> jax.Array:
     """The 3x3 conv-tap neighborhoods of ``upsample2x(x)`` at selected
     FULL-RES pixels, without materializing the upsampled map.
 
@@ -135,14 +137,19 @@ def sparse_upsample_taps(x: jax.Array, rows: jax.Array,
                        [0.0, 0.25, 0.75]], x.dtype)
     wr = jnp.where((rows % 2 == 1)[:, :, None, None], w_odd, w_even)
     wc = jnp.where((cols % 2 == 1)[:, :, None, None], w_odd, w_even)
-    # zero taps outside the full-res image (conv zero padding)
-    tap = jnp.arange(-1, 2)
-    row_ok = ((rows[:, :, None] + tap) >= 0) & \
-        ((rows[:, :, None] + tap) < 2 * h)
-    col_ok = ((cols[:, :, None] + tap) >= 0) & \
-        ((cols[:, :, None] + tap) < 2 * w)
-    wr = wr * row_ok[..., None].astype(x.dtype)
-    wc = wc * col_ok[..., None].astype(x.dtype)
+    if border == "zero":
+        # zero taps outside the full-res image (torch-style conv padding)
+        tap = jnp.arange(-1, 2)
+        row_ok = ((rows[:, :, None] + tap) >= 0) & \
+            ((rows[:, :, None] + tap) < 2 * h)
+        col_ok = ((cols[:, :, None] + tap) >= 0) & \
+            ((cols[:, :, None] + tap) < 2 * w)
+        wr = wr * row_ok[..., None].astype(x.dtype)
+        wc = wc * col_ok[..., None].astype(x.dtype)
+    # border == "replicate": nothing to do — the half-res patch gather is
+    # already edge-clamped, so out-of-image taps evaluate to the clamped
+    # upsampled values, i.e. a replicate-padded conv (matching the fused
+    # phase-conv decoder's native border semantics)
     # U[t_r, t_c] = sum_{i,j} wr[t_r, i] * wc[t_c, j] * P[i, j]
     return jnp.einsum("bnti,bnuj,bnijc->bntuc", wr, wc, patch)
 
@@ -178,14 +185,21 @@ class PSPNet(nn.Module):
                       dtype=self.dtype, name="psp")(f)
         p = Dropout2d(self.drop1, name="drop1")(p, deterministic=not train)
 
+        # fused_decoder semantics: decoder convs pad with REPLICATE borders —
+        # the phase conv's native formulation (zero extra cost; see
+        # phase_upsample_conv3x3) — consistently across the dense, fused and
+        # sparse paths. fused_decoder=False keeps torch-style zero padding
+        # (the reference's exact border behavior, for imported weights).
         # up1 (1024->256) is MXU-bound: the phase conv has identical FLOPs
         # and measured slightly SLOWER than resize+conv there, while up2/up3
         # are HBM-bound and the phase conv halves them (docs/PERF.md round-2
         # stage table) — so up1 stays dense, up2/up3 follow fused_decoder.
-        p = PSPUpsample(256, dtype=self.dtype, fused=False, name="up1")(p)
+        border = "replicate" if self.fused_decoder else "zero"
+        p = PSPUpsample(256, dtype=self.dtype, fused=False, border=border,
+                        name="up1")(p)
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
         p = PSPUpsample(64, dtype=self.dtype, fused=self.fused_decoder,
-                        name="up2")(p)
+                        border=border, name="up2")(p)
         p = Dropout2d(self.drop2, name="drop2b")(p, deterministic=not train)
 
         # Final stage modules — ONE parameter set serving the dense, fused,
@@ -208,7 +222,8 @@ class PSPNet(nn.Module):
 
         if sample_at is None:
             if self.fused_decoder:
-                p = phase_upsample_conv3x3(p, up3_kernel, up3_bias)
+                p = phase_upsample_conv3x3(p, up3_kernel, up3_bias,
+                                           border=border)
             else:
                 h2, w2 = p.shape[-3], p.shape[-2]
                 p = resize_bilinear(p, (2 * h2, 2 * w2))
@@ -221,7 +236,8 @@ class PSPNet(nn.Module):
         else:
             rows = sample_at // w_full
             cols = sample_at % w_full
-            taps = sparse_upsample_taps(p, rows, cols)   # (B, N, 3, 3, C)
+            taps = sparse_upsample_taps(p, rows, cols,
+                                        border=border)   # (B, N, 3, 3, C)
             y = jnp.einsum("bnijc,ijcd->bnd",
                            taps.astype(up3_kernel.dtype), up3_kernel) \
                 + up3_bias

@@ -31,6 +31,7 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _f32p = ctypes.POINTER(ctypes.c_float)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
+_u16p = ctypes.POINTER(ctypes.c_uint16)
 
 
 def _build() -> bool:
@@ -91,6 +92,21 @@ def _load():
             lib.df_gaussian_noise.restype = None
             lib.df_gaussian_noise.argtypes = [
                 _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_uint64]
+        if hasattr(lib, "df_label_depth_hist"):   # v3 entry points
+            lib.df_label_depth_hist.restype = None
+            lib.df_label_depth_hist.argtypes = [
+                _u8p, _u16p, ctypes.c_int64, _i64p]
+            lib.df_apply_front.restype = ctypes.c_int64
+            lib.df_apply_front.argtypes = [
+                _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                _u8p, _u8p]
+            lib.df_object_mask.restype = ctypes.c_int64
+            lib.df_object_mask.argtypes = [
+                _u8p, _u16p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                _u8p, _u8p, _i64p]
+            lib.df_compose_crop.restype = None
+            lib.df_compose_crop.argtypes = [
+                _u8p, _u8p, _u8p, _u8p, _u8p, ctypes.c_int64, _u8p]
         _lib = lib
         return _lib
 
@@ -237,3 +253,78 @@ def gaussian_noise(img: np.ndarray, scale: float, seed: int) -> np.ndarray:
                           ctypes.c_float(scale),
                           ctypes.c_uint64(seed & 0xFFFFFFFFFFFFFFFF))
     return arr
+
+
+def loader_kernels_supported() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "df_label_depth_hist")
+
+
+def label_depth_hist(label: np.ndarray, depth: np.ndarray) -> np.ndarray:
+    """Per-label-value count of nonzero-depth pixels -> (256,) int64."""
+    lib = _load()
+    lab = np.ascontiguousarray(label.reshape(-1), np.uint8)
+    dep = np.ascontiguousarray(depth.reshape(-1), np.uint16)
+    counts = np.empty(256, np.int64)
+    lib.df_label_depth_hist(_ptr(lab, _u8p), _ptr(dep, _u16p), lab.size,
+                            _ptr(counts, _i64p))
+    return counts
+
+
+def apply_front(label: np.ndarray, f_label: np.ndarray, id0: int, id1: int
+                ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Zero the label under two occluder objects of ``f_label``; returns
+    (new_label, front_mask(bool), surviving_count)."""
+    lib = _load()
+    lab = np.ascontiguousarray(label, np.uint8)
+    fl = np.ascontiguousarray(f_label, np.uint8)
+    out = np.empty_like(lab)
+    front = np.empty(lab.shape, np.uint8)
+    count = lib.df_apply_front(_ptr(lab, _u8p), _ptr(fl, _u8p), lab.size,
+                               id0, id1, _ptr(out, _u8p), _ptr(front, _u8p))
+    return out, front.view(bool), int(count)
+
+
+def object_mask(label: np.ndarray, depth: np.ndarray, obj_id: int
+                ) -> tuple[np.ndarray, np.ndarray, tuple | None, int]:
+    """One-pass (label==id) mask, depth-valid mask, tight bbox
+    (rmin, rmax_excl, cmin, cmax_excl) and valid-pixel count."""
+    lib = _load()
+    h, w = label.shape
+    lab = np.ascontiguousarray(label, np.uint8)
+    dep = np.ascontiguousarray(depth, np.uint16)
+    mask_label = np.empty((h, w), np.uint8)
+    mask_valid = np.empty((h, w), np.uint8)
+    bbox = np.empty(4, np.int64)
+    count = lib.df_object_mask(_ptr(lab, _u8p), _ptr(dep, _u16p), h, w,
+                               obj_id, _ptr(mask_label, _u8p),
+                               _ptr(mask_valid, _u8p), _ptr(bbox, _i64p))
+    box = None if bbox[0] < 0 else (int(bbox[0]), int(bbox[1]),
+                                    int(bbox[2]), int(bbox[3]))
+    return mask_label.view(bool), mask_valid.view(bool), box, int(count)
+
+
+def compose_crop(rgb: np.ndarray, back: np.ndarray | None,
+                 label: np.ndarray | None, front: np.ndarray | None,
+                 front_mask: np.ndarray | None) -> np.ndarray:
+    """Fused window compositing: back behind label==0, front where
+    front_mask==0. All inputs are (h, w, 3)/(h, w) uint8 crop windows."""
+    lib = _load()
+    src = np.ascontiguousarray(rgb, np.uint8)
+    n = src.shape[0] * src.shape[1]
+    out = np.empty_like(src)
+
+    def u8(arr):
+        if arr is None:
+            return ctypes.cast(None, _u8p)
+        return _ptr(np.ascontiguousarray(arr, np.uint8), _u8p)
+
+    # keep contiguous copies alive through the call
+    back_c = None if back is None else np.ascontiguousarray(back, np.uint8)
+    label_c = None if label is None else np.ascontiguousarray(label, np.uint8)
+    front_c = None if front is None else np.ascontiguousarray(front, np.uint8)
+    fm_c = None if front_mask is None else np.ascontiguousarray(
+        front_mask, np.uint8)
+    lib.df_compose_crop(_ptr(src, _u8p), u8(back_c), u8(label_c), u8(front_c),
+                        u8(fm_c), n, _ptr(out, _u8p))
+    return out

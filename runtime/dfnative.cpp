@@ -405,6 +405,93 @@ void df_gaussian_noise(float* img, int64_t n, float scale, uint64_t seed) {
     }
 }
 
-int df_version() { return 2; }
+// ---------------------------------------------------------------------------
+// YCB loader hot-path kernels: everything below runs one C pass over the
+// frame so the Python thread pool parallelizes for real (numpy held the GIL
+// for most of the per-sample time; docs/PERF.md round 2).
+// ---------------------------------------------------------------------------
+
+// Histogram of label values over pixels with nonzero depth (the "enough
+// valid pixels" object pick, datasets/ycb/dataset.py:141-147, in one pass).
+void df_label_depth_hist(const uint8_t* label, const uint16_t* depth,
+                         int64_t n, int64_t* counts /*256*/) {
+    std::memset(counts, 0, 256 * sizeof(int64_t));
+    for (int64_t i = 0; i < n; ++i)
+        if (depth[i] != 0) ++counts[label[i]];
+}
+
+// Apply two front-occluder object masks from another frame's label image:
+// out_label = label where the occluders are absent, else 0; front_mask = 1
+// where NOT occluded. Returns the surviving nonzero-label pixel count
+// (datasets/ycb/dataset.py:116-137 semantics).
+int64_t df_apply_front(const uint8_t* label, const uint8_t* f_label,
+                       int64_t n, int64_t id0, int64_t id1,
+                       uint8_t* out_label, uint8_t* front_mask) {
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t fl = f_label[i];
+        const bool occluded = (fl == id0) | (fl == id1);
+        front_mask[i] = !occluded;
+        const uint8_t v = occluded ? 0 : label[i];
+        out_label[i] = v;
+        count += (v != 0);
+    }
+    return count;
+}
+
+// (label == id) object mask, its depth-valid AND, and the tight bbox of the
+// label mask. Returns the depth-valid pixel count; bbox (rmin, rmax_excl,
+// cmin, cmax_excl) is -1s when the label never appears.
+int64_t df_object_mask(const uint8_t* label, const uint16_t* depth,
+                       int64_t h, int64_t w, int64_t obj_id,
+                       uint8_t* mask_label, uint8_t* mask_valid,
+                       int64_t* bbox) {
+    int64_t count = 0;
+    int64_t rmin = h, rmax = -1, cmin = w, cmax = -1;
+    for (int64_t r = 0; r < h; ++r) {
+        const uint8_t* lrow = label + r * w;
+        const uint16_t* drow = depth + r * w;
+        uint8_t* ml = mask_label + r * w;
+        uint8_t* mv = mask_valid + r * w;
+        for (int64_t c = 0; c < w; ++c) {
+            const bool is_obj = lrow[c] == (uint8_t)obj_id;
+            ml[c] = is_obj;
+            const bool valid = is_obj & (drow[c] != 0);
+            mv[c] = valid;
+            count += valid;
+            if (is_obj) {
+                rmin = std::min(rmin, r);
+                rmax = std::max(rmax, r);
+                cmin = std::min(cmin, c);
+                cmax = std::max(cmax, c);
+            }
+        }
+    }
+    if (rmax < 0) {
+        bbox[0] = bbox[1] = bbox[2] = bbox[3] = -1;
+    } else {
+        bbox[0] = rmin; bbox[1] = rmax + 1;
+        bbox[2] = cmin; bbox[3] = cmax + 1;
+    }
+    return count;
+}
+
+// Fused crop compositing (datasets/ycb/dataset.py:155-164 restricted to the
+// consumed window): out = rgb, with `back` behind label==0 pixels and
+// `front` where front_mask==0. Null pointers skip a layer.
+void df_compose_crop(const uint8_t* rgb, const uint8_t* back,
+                     const uint8_t* label, const uint8_t* front,
+                     const uint8_t* front_mask, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* src = rgb;
+        if (back != nullptr && label[i] == 0) src = back;
+        if (front != nullptr && front_mask[i] == 0) src = front;
+        out[3 * i] = src[3 * i];
+        out[3 * i + 1] = src[3 * i + 1];
+        out[3 * i + 2] = src[3 * i + 2];
+    }
+}
+
+int df_version() { return 3; }
 
 }  // extern "C"

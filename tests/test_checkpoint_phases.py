@@ -63,6 +63,7 @@ def test_refine_checkpoint_params_only_load(base, tmp_path):
         load_checkpoint(path, state, restore_opt=True)
 
 
+@pytest.mark.slow
 def test_grad_accum_checkpoint_roundtrip(base, tmp_path):
     cfg, state = base
     tx = optax.MultiSteps(make_optimizer(cfg.lr), every_k_schedule=4)

@@ -8,6 +8,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from densefusion_tpu.data import generate_linemod_style_dataset, collate
 from densefusion_tpu.data.linemod import LineModDataset, _load_image
 from densefusion_tpu.geometry.camera import LINEMOD_CAM

@@ -66,6 +66,7 @@ def test_posenet_sparse_equals_dense(psp_setup):
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_sparse_gradients_flow(psp_setup):
     model, params, x, choose = psp_setup
     # the final projection is zero-init (uniform log-softmax start), which
@@ -82,3 +83,26 @@ def test_sparse_gradients_flow(psp_setup):
     # gradients reach the trunk through the sparse gather
     leaves = jax.tree.leaves(g["params"]["trunk"])
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_phase_upsample_conv_exact_both_borders(rng):
+    """phase_upsample_conv3x3 == resize2x + pad + VALID conv3x3, for both
+    zero (torch-style, with boundary corrections) and replicate (native
+    phase semantics) padding, including all border pixels."""
+    import jax
+    from densefusion_tpu.models.layers import (
+        phase_upsample_conv3x3, resize_bilinear,
+    )
+    for (h, w, cin, cout) in [(5, 7, 4, 3), (1, 3, 2, 2)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        for border, mode in (("zero", "constant"), ("replicate", "edge")):
+            up = jnp.pad(resize_bilinear(x, (2 * h, 2 * w)),
+                         [(0, 0), (1, 1), (1, 1), (0, 0)], mode=mode)
+            dense = jax.lax.conv_general_dilated(
+                up, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            fused = phase_upsample_conv3x3(x, k, b, border=border)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                                       atol=5e-5, err_msg=border)

@@ -118,6 +118,7 @@ def _c1d(sd, key, x):
     return F.conv1d(x, sd[f"{key}.weight"], sd[f"{key}.bias"])
 
 
+@pytest.mark.slow
 def test_posenet_import_structural(rng):
     """Every flax leaf filled from the right-shaped torch tensor; every torch
     key consumed except the dead aux classifier."""
