@@ -202,11 +202,81 @@ def bench_loader(workers: int = 4, batch: int = 16,
             max(ds.cache.hits + ds.cache.misses, 1)}
 
 
+def bench_train_e2e(batch: int = 16, steps: int = 60, workers: int = 4,
+                    dataset_root: str | None = None):
+    """End-to-end training throughput WITH the real host loader feeding the
+    device step (synthetic YCB, full augmentation): reports achieved
+    steps/s, the device-only step rate, and the input-bound fraction
+    (achieved ~= device rate means the host keeps up)."""
+    import tempfile
+    import numpy as np
+    from densefusion_tpu.data.synthetic import generate_ycb_style_dataset
+    from densefusion_tpu.data.ycb import YCBDataset
+    from densefusion_tpu.data.loader import BatchLoader, PrefetchIterator
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.train import create_train_state, make_pose_train_step
+    from densefusion_tpu.train.state import make_optimizer
+    from densefusion_tpu.utils.config import RunConfig
+    import jax
+    import jax.numpy as jnp
+
+    root = dataset_root
+    if root is None:
+        root = tempfile.mkdtemp(prefix="ycb_e2ebench_")
+        generate_ycb_style_dataset(root, n_classes=5, n_real=32, n_syn=32,
+                                   n_test=2, seed=0)
+    ds = YCBDataset(root, mode="train", num_points=1000, crop_size=192,
+                    cache_frames=8192)
+    loader = BatchLoader(ds, batch, shuffle=True, num_workers=workers,
+                         drop_last=True)
+    cfg = RunConfig.preset("ycb", num_points=1000, crop_size=192)
+    posenet = PoseNet(num_obj=len(ds.classes), dtype=jnp.bfloat16)
+    refiner = PoseRefineNet(num_obj=len(ds.classes), dtype=jnp.bfloat16)
+    tx = make_optimizer(cfg.lr)
+    step = make_pose_train_step(posenet, tx, use_adds=True)
+    w = np.float32(0.015)
+
+    first = next(iter(loader.epoch(0)))
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               first)
+    state, m = step(state, first, w)   # compile
+    _sync(m["loss"])
+
+    # device-only rate (same batch repeatedly, no host loader)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, m = step(state, first, w)
+    _sync(m["loss"])
+    dev_rate = 10 / (time.perf_counter() - t0)
+
+    # end-to-end: prefetched loader feeding the step
+    done = 0
+    epoch = 1
+    t0 = time.perf_counter()
+    while done < steps:
+        for b in PrefetchIterator(loader.epoch(epoch), depth=3):
+            state, m = step(state, b, w)
+            done += 1
+            if done >= steps:
+                break
+        epoch += 1
+    _sync(m["loss"])
+    e2e_rate = steps / (time.perf_counter() - t0)
+    return {
+        "train_e2e_batch": batch,
+        "train_e2e_steps_per_s": e2e_rate,
+        "train_e2e_frames_per_s": e2e_rate * batch,
+        "train_device_only_steps_per_s": dev_rate,
+        "train_e2e_input_bound_fraction":
+            max(0.0, 1.0 - e2e_rate / dev_rate),
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="all",
                    choices=["all", "knn", "inference", "train", "scaling",
-                            "loader"])
+                            "loader", "train_e2e"])
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--dataset_root", default=None,
                    help="existing YCB-format root for --what loader "
@@ -231,6 +301,10 @@ def main(argv=None):
             results.update(bench_loader(workers=args.workers,
                                         batch=args.batch,
                                         dataset_root=args.dataset_root))
+        if args.what == "train_e2e":
+            results.update(bench_train_e2e(batch=args.batch,
+                                           workers=args.workers,
+                                           dataset_root=args.dataset_root))
     print(json.dumps(results, indent=2))
     return results
 

@@ -89,12 +89,18 @@ def main(argv=None):
     ps.add_argument("--root", required=True)
     ps.add_argument("--train_percent", type=float, default=80.0)
     ps.add_argument("--seed", type=int, default=None)
+    pa = sub.add_parser("all", help="masks then split "
+                                    "(the reference's prep_dataset.py)")
+    pa.add_argument("--root", required=True)
+    pa.add_argument("--train_percent", type=float, default=80.0)
+    pa.add_argument("--seed", type=int, default=None)
     args = p.parse_args(argv)
 
-    if args.cmd == "masks":
+    if args.cmd in ("masks", "all"):
         n = generate_masks(args.root)
         print(f"wrote {n} masks")
-        return n
+        if args.cmd == "masks":
+            return n
     result = generate_split(args.root, args.train_percent, args.seed)
     for obj_dir, (n_tr, n_te) in result.items():
         print(f"{obj_dir}: {n_tr} train / {n_te} test")
