@@ -208,8 +208,11 @@ def generate_linemod_style_dataset(
 
                 # partial FRONT occluder (<=35% of the object's pixels):
                 # the visible mask shrinks, like the reference's front-paste
-                # occlusion augmentation (datasets/ycb/dataset.py:116-137)
-                if rng.uniform() < 0.5:
+                # occlusion augmentation (datasets/ycb/dataset.py:116-137).
+                # TRAIN frames only — the LineMOD test protocol this mimics
+                # is unoccluded (occlusion eval is a separate benchmark), so
+                # occluding held-out frames would overstate difficulty
+                if frame < n_train and rng.uniform() < 0.5:
                     qo = rng.standard_normal(4)
                     qo /= np.linalg.norm(qo)
                     wo, xo, yo, zo = qo
