@@ -77,6 +77,32 @@ def _edge_upsample_1d(v: jax.Array, axis: int) -> jax.Array:
     return jnp.moveaxis(e, 0, axis)                       # coords -1 .. 2n
 
 
+def phase_conv_phases(x: jax.Array, kernel: jax.Array,
+                      bias: jax.Array) -> jax.Array:
+    """The phase-major intermediate of :func:`phase_upsample_conv3x3`
+    (replicate border): one half-res VALID conv with the 4 composed phase
+    kernels, WITHOUT the depth-to-space interleave. Output (B, h, w,
+    4*cout), phase index (py, px) row-major within the channel axis —
+    full-res pixel (2i+py, 2j+px) lives at [i, j, (py*2+px)*cout:...].
+
+    The sparse decode path gathers from this layout directly: skipping the
+    interleave avoids a full-res materialization, and the per-point gather
+    happens after the cheap dense final 1x1 (docs/PERF.md round 2)."""
+    m_even = jnp.asarray(UPSAMPLE_TAPS_EVEN, kernel.dtype)
+    m_odd = jnp.asarray(UPSAMPLE_TAPS_ODD, kernel.dtype)
+    m = jnp.stack([m_even, m_odd])                        # (2, tap, src)
+    pk = jnp.einsum("pti,quj,tucd->pqijcd", m, m, kernel)
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    pk = pk.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, cin, 4 * cout)
+
+    # uniform interior formula: replicate padding == the resize's edge clamp
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, pk, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # (B, h, w, 4*cout)
+    return y + jnp.tile(bias.astype(y.dtype), 4)
+
+
 def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
                            bias: jax.Array,
                            border: str = "zero") -> jax.Array:
@@ -100,19 +126,7 @@ def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
-    m_even = jnp.asarray(UPSAMPLE_TAPS_EVEN, kernel.dtype)
-    m_odd = jnp.asarray(UPSAMPLE_TAPS_ODD, kernel.dtype)
-    # phase kernels (2, 2, 3, 3, cin, cout), phase index (py, px)
-    m = jnp.stack([m_even, m_odd])                        # (2, tap, src)
-    pk = jnp.einsum("pti,quj,tucd->pqijcd", m, m, kernel)
-    pk = pk.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, cin, 4 * cout)
-
-    # uniform interior formula: replicate padding == the resize's edge clamp
-    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, pk, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # (B, h, w, 4*cout)
-    y = y + jnp.tile(bias.astype(y.dtype), 4)
+    y = phase_conv_phases(x, kernel, bias)                # (B, h, w, 4*cout)
     y = y.reshape(b, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * w, cout)                  # depth-to-space
     if border == "replicate":

@@ -120,18 +120,32 @@ class _HeadParams(nn.Module):
                                     self.out_dim, self.identity_quat_bias)
 
 
-def apply_head_stacks(feat, heads, num_obj, out_dims, dtype=None):
+def apply_head_stacks(feat, heads, num_obj, out_dims, dtype=None, obj=None):
     """Run N head stacks over shared input with layer 1 MERGED into one
     matmul: ``feat`` (B, N, F) is the largest activation in the model and
     three separate 1408->640 Dense layers read it three times — one
     (F, 3*640) matmul reads it once (the heads' HBM cost dominates their
     FLOPs; docs/PERF.md round 2). Layers 2-4 stay per-head (small inputs).
-    Returns one (B, N, num_obj, out_dim) per head.
+
+    Without ``obj``: returns one (B, N, num_obj, out_dim) per head.
+    With ``obj`` (B,) class indices: folds the per-object selection INTO the
+    final layer — the fc4 kernel's (in, num_obj, out_dim) slice for each
+    sample's class is picked by a one-hot einsum and applied directly,
+    returning (B, N, out_dim) per head. Identical values and gradients to
+    computing all classes then selecting (the one-hot contraction routes
+    gradient only into the selected class slice, = ``index_select``), but
+    1/num_obj the fc4 FLOPs and — the real win — no per-element gather:
+    ``take_along_axis`` over the class axis measured 7.4 ms/batch-64 on TPU
+    vs ~0 for the einsum formulation (docs/PERF.md round 2).
     """
     cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
     k1 = jnp.concatenate([cast(h[0][0]) for h in heads], axis=1)
     b1 = jnp.concatenate([cast(h[0][1]) for h in heads])
     y = nn.relu(cast(feat) @ k1 + b1)                  # (B, N, 3*640)
+
+    onehot = None
+    if obj is not None:
+        onehot = jax.nn.one_hot(obj, num_obj, dtype=y.dtype)     # (B, O)
 
     outs = []
     width = _HEAD_WIDTHS[0]
@@ -140,8 +154,16 @@ def apply_head_stacks(feat, heads, num_obj, out_dims, dtype=None):
         for k, b in head[1:-1]:
             x = nn.relu(x @ cast(k) + cast(b))
         k, b = head[-1]
-        x = x @ cast(k) + cast(b)
-        outs.append(x.reshape(x.shape[:-1] + (num_obj, out_dim)))
+        if onehot is None:
+            x = x @ cast(k) + cast(b)
+            outs.append(x.reshape(x.shape[:-1] + (num_obj, out_dim)))
+        else:
+            kk = cast(k).reshape(-1, num_obj, out_dim)
+            ksel = jnp.einsum("koe,bo->bke", kk, onehot)         # (B, in, e)
+            bsel = jnp.einsum("oe,bo->be",
+                              cast(b).reshape(num_obj, out_dim), onehot)
+            outs.append(jnp.einsum("bnk,bke->bne", x, ksel)
+                        + bsel[:, None, :])
     return outs
 
 
@@ -172,10 +194,15 @@ class _HeadStack(nn.Module):
 def select_object(x: jax.Array, obj: jax.Array) -> jax.Array:
     """(B, N, num_obj, D), obj (B,) int -> (B, N, D): per-sample class-slice
     selection (batched ``torch.index_select(rx[b], 0, obj[b])``,
-    ``lib/network.py:123-126``)."""
-    idx = obj.astype(jnp.int32)[:, None, None, None]
-    idx = jnp.broadcast_to(idx, (x.shape[0], x.shape[1], 1, x.shape[3]))
-    return jnp.take_along_axis(x, idx, axis=2)[:, :, 0, :]
+    ``lib/network.py:123-126``).
+
+    One-hot contraction, not ``take_along_axis``: the per-element gather
+    lowers to a scalar loop on TPU (7.4 ms/batch-64 across the three heads)
+    while the einsum is a trivial VPU reduce (docs/PERF.md round 2). Values
+    and gradients are identical for in-range ``obj``.
+    """
+    onehot = jax.nn.one_hot(obj, x.shape[2], dtype=x.dtype)
+    return jnp.einsum("bnod,bo->bnd", x, onehot)
 
 
 class PoseNet(nn.Module):
@@ -230,11 +257,11 @@ class PoseNet(nn.Module):
             _HeadParams(self.num_obj, 1, name="head_c")(f),
         ]
         rx, tx, cx = apply_head_stacks(feat, heads, self.num_obj, (4, 3, 1),
-                                       dtype=self.dtype)
+                                       dtype=self.dtype, obj=obj)
 
-        pred_r = select_object(rx, obj).astype(jnp.float32)
-        pred_t = select_object(tx, obj).astype(jnp.float32)
-        pred_c_logit = select_object(cx, obj).astype(jnp.float32)[..., 0]
+        pred_r = rx.astype(jnp.float32)
+        pred_t = tx.astype(jnp.float32)
+        pred_c_logit = cx.astype(jnp.float32)[..., 0]
         return {
             "pred_r": pred_r,
             "pred_t": pred_t,

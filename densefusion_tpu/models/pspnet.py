@@ -236,13 +236,35 @@ class PSPNet(nn.Module):
         else:
             rows = sample_at // w_full
             cols = sample_at % w_full
-            taps = sparse_upsample_taps(p, rows, cols,
-                                        border=border)   # (B, N, 3, 3, C)
-            y = jnp.einsum("bnijc,ijcd->bnd",
-                           taps.astype(up3_kernel.dtype), up3_kernel) \
-                + up3_bias
-            y = up3_prelu(y)
-            p = final(y[:, :, None, :])[:, :, 0, :]       # 1x1 over (B,N,1,C)
+            if border == "replicate":
+                # Phase-dense decode, sparse final gather: the half-res
+                # phase conv + PReLU + final 1x1 are CHEAP dense MXU work
+                # (~1 ms/batch-64), so run them on all pixels in phase-major
+                # layout (no depth-to-space materialization) and gather only
+                # the final emb_dim-wide rows — the narrowest possible
+                # gather. Per-point 3x3 patch gathers measured 8.8 ms at the
+                # same batch; this path ~3 ms total (docs/PERF.md round 2).
+                from densefusion_tpu.models.layers import phase_conv_phases
+                b_, hh, ww = p.shape[0], p.shape[1], p.shape[2]
+                cc = up3_kernel.shape[-1]
+                y4 = phase_conv_phases(p, up3_kernel,
+                                       up3_bias)       # (B, h, w, 4*C)
+                y4 = up3_prelu(y4)
+                z = final(y4.reshape(b_, hh * ww * 4, 1, cc))[:, :, 0, :]
+                flat_idx = ((rows // 2) * ww + cols // 2) * 4 \
+                    + (rows % 2) * 2 + (cols % 2)        # (B, N)
+                p = jnp.take_along_axis(
+                    z, flat_idx.astype(jnp.int32)[..., None], axis=1)
+            else:
+                # zero border needs per-point boundary masking of the tap
+                # weights — keep the patch/tap formulation for that case
+                taps = sparse_upsample_taps(p, rows, cols,
+                                            border=border)  # (B, N, 3, 3, C)
+                y = jnp.einsum("bnijc,ijcd->bnd",
+                               taps.astype(up3_kernel.dtype), up3_kernel) \
+                    + up3_bias
+                y = up3_prelu(y)
+                p = final(y[:, :, None, :])[:, :, 0, :]   # 1x1 over (B,N,1,C)
 
         # log-softmax in f32 for numerical stability under bf16 compute
         p = p.astype(jnp.float32)

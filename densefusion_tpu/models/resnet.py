@@ -10,6 +10,8 @@ channel counts.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 from densefusion_tpu.models.layers import he_normal_fan_out
@@ -82,19 +84,56 @@ RESNET_SPECS = {
 }
 
 
+class _StemParams(nn.Module):
+    """Bare 7x7x3x64 stem kernel — tree-identical to ``nn.Conv(use_bias=
+    False)`` so both stem formulations share one checkpoint layout."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", he_normal_fan_out, (7, 7, 3, 64))
+
+
+def _stem_space_to_depth(x, kernel):
+    """conv7x7/s2(pad 3) computed as conv4x4/s1 over a 2x2 space-to-depth
+    blocking of the input — identical map (phase decomposition of the
+    strided kernel), but the implicit matmul's contraction dim grows from
+    7.7.3 on a 3-channel image to 4.4.12, which the MXU tiles far better
+    (the 3->8 sublane padding waste of the naive stem; docs/PERF.md)."""
+    b, h, w, c = x.shape
+    xb = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    # pad taps u-3 = 2m + p, m in [-2, 1]: pad kernel to 8 and fold parity
+    k8 = jnp.pad(kernel, [(1, 0), (1, 0), (0, 0), (0, 0)])
+    k4 = k8.reshape(4, 2, 4, 2, c, kernel.shape[-1])
+    k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, kernel.shape[-1])
+    return jax.lax.conv_general_dilated(
+        xb, k4, window_strides=(1, 1), padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class DilatedResNet(nn.Module):
     """Trunk returning (stage4, stage3) features at output stride 8
     (``lib/extractors.py:114-124``)."""
 
     variant: str = "resnet18"
     dtype: type | None = None
+    s2d_stem: bool = False   # space-to-depth stem (identical math)
 
     @nn.compact
     def __call__(self, x):
         block_cls, depths = RESNET_SPECS[self.variant]
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = _conv(64, 7, 2, name="stem", dtype=self.dtype)(x)
+        stem_kernel = _StemParams(name="stem")()
+        if self.dtype is not None:
+            stem_kernel = stem_kernel.astype(self.dtype)
+        if self.s2d_stem:
+            x = _stem_space_to_depth(x, stem_kernel)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, stem_kernel, window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

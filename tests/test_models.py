@@ -59,6 +59,24 @@ def test_resnet_output_stride_8():
     assert f3.shape == (1, 8, 8, 256)
 
 
+def test_s2d_stem_exact_and_tree_identical():
+    """The space-to-depth stem is the same map as the plain conv7x7/s2 stem
+    (phase decomposition of the strided kernel) and reads the SAME parameter
+    tree — checkpoints and the torch importer are formulation-agnostic."""
+    x = jax.random.normal(jax.random.key(3), (2, 48, 48, 3))
+    plain = DilatedResNet(variant="resnet18", s2d_stem=False)
+    s2d = DilatedResNet(variant="resnet18", s2d_stem=True)
+    params = plain.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(s2d.init(jax.random.key(0), x))
+    a4, a3 = plain.apply(params, x)
+    b4, b3 = s2d.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a4), np.asarray(b4),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(b3),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_pspnet_embedding_shape_and_logsoftmax():
     model = PSPNet()
     x = jnp.zeros((2, 48, 48, 3))
