@@ -190,13 +190,12 @@ class PSPNet(nn.Module):
         # phase_upsample_conv3x3) — consistently across the dense, fused and
         # sparse paths. fused_decoder=False keeps torch-style zero padding
         # (the reference's exact border behavior, for imported weights).
-        # up1 (1024->256) is MXU-bound: the phase conv has identical FLOPs
-        # and measured slightly SLOWER than resize+conv there, while up2/up3
-        # are HBM-bound and the phase conv halves them (docs/PERF.md round-2
-        # stage table) — so up1 stays dense, up2/up3 follow fused_decoder.
+        # All three upsample stages use the phase conv: up1's 4x-smaller
+        # input read wins 7.9 -> 5.3 ms/batch-64 (docs/PERF.md round 2;
+        # an earlier round measured the opposite inside the old graph).
         border = "replicate" if self.fused_decoder else "zero"
-        p = PSPUpsample(256, dtype=self.dtype, fused=False, border=border,
-                        name="up1")(p)
+        p = PSPUpsample(256, dtype=self.dtype, fused=self.fused_decoder,
+                        border=border, name="up1")(p)
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
         p = PSPUpsample(64, dtype=self.dtype, fused=self.fused_decoder,
                         border=border, name="up2")(p)
@@ -237,24 +236,31 @@ class PSPNet(nn.Module):
             rows = sample_at // w_full
             cols = sample_at % w_full
             if border == "replicate":
-                # Phase-dense decode, sparse final gather: the half-res
-                # phase conv + PReLU + final 1x1 are CHEAP dense MXU work
-                # (~1 ms/batch-64), so run them on all pixels in phase-major
-                # layout (no depth-to-space materialization) and gather only
-                # the final emb_dim-wide rows — the narrowest possible
-                # gather. Per-point 3x3 patch gathers measured 8.8 ms at the
-                # same batch; this path ~3 ms total (docs/PERF.md round 2).
+                # Phase-dense decode, phase-major row gather: the half-res
+                # phase conv is cheap dense MXU work (~1.8 ms/batch-64), so
+                # run it on all pixels WITHOUT depth-to-space, gather each
+                # point's (4*C) phase-major row as-is (no tile relayout —
+                # splitting the phase axis into rows re-tiles the whole
+                # map on TPU), then PReLU + one-hot phase select + final
+                # 1x1 on the N sparse rows only. Per-point 3x3 patch
+                # gathers measured 8.8 ms at this batch; this path ~3 ms
+                # (docs/PERF.md round 2).
                 from densefusion_tpu.models.layers import phase_conv_phases
                 b_, hh, ww = p.shape[0], p.shape[1], p.shape[2]
                 cc = up3_kernel.shape[-1]
+                n_ = rows.shape[1]
                 y4 = phase_conv_phases(p, up3_kernel,
                                        up3_bias)       # (B, h, w, 4*C)
-                y4 = up3_prelu(y4)
-                z = final(y4.reshape(b_, hh * ww * 4, 1, cc))[:, :, 0, :]
-                flat_idx = ((rows // 2) * ww + cols // 2) * 4 \
-                    + (rows % 2) * 2 + (cols % 2)        # (B, N)
-                p = jnp.take_along_axis(
-                    z, flat_idx.astype(jnp.int32)[..., None], axis=1)
+                base = ((rows // 2) * ww + cols // 2).astype(jnp.int32)
+                g = jnp.take_along_axis(
+                    y4.reshape(b_, hh * ww, 4 * cc),
+                    base[..., None], axis=1)             # (B, N, 4*C)
+                g = up3_prelu(g)
+                ph = jax.nn.one_hot((rows % 2) * 2 + (cols % 2), 4,
+                                    dtype=g.dtype)       # (B, N, 4)
+                g = jnp.einsum("bnpc,bnp->bnc",
+                               g.reshape(b_, n_, 4, cc), ph)
+                p = final(g[:, :, None, :])[:, :, 0, :]  # (B, N, emb)
             else:
                 # zero border needs per-point boundary masking of the tap
                 # weights — keep the patch/tap formulation for that case
