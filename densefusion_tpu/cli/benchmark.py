@@ -24,20 +24,22 @@ def _sync(x):
 def bench_knn(repeats: int = 50):
     import numpy as np
     import jax.numpy as jnp
-    from densefusion_tpu.ops.knn import nearest_neighbor_pallas
+    from densefusion_tpu.ops.knn import nearest_neighbor, _on_tpu
 
     rng = np.random.default_rng(0)
     # training ADD-S shape: B*N*M queries vs M refs (8 x 500 hyp x 500 mesh)
     q = jnp.asarray(rng.standard_normal((250_000, 3)), jnp.float32)
     r = jnp.asarray(rng.standard_normal((500, 3)), jnp.float32)
-    _sync(nearest_neighbor_pallas(q, r))
+    backend = "pallas" if _on_tpu() else "xla"
+    _sync(nearest_neighbor(q, r, backend=backend))
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = nearest_neighbor_pallas(q, r)
+        out = nearest_neighbor(q, r, backend=backend)
         _sync(out)
     dt = (time.perf_counter() - t0) / repeats
-    pairs = q.shape[0] * 512  # padded ref tile
-    return {"knn_us": dt * 1e6, "knn_pairs_per_s": pairs / dt}
+    pairs = q.shape[0] * (512 if backend == "pallas" else 500)
+    return {"knn_backend": backend, "knn_us": dt * 1e6,
+            "knn_pairs_per_s": pairs / dt}
 
 
 def bench_inference(batch: int = 16, repeats: int = 20):
@@ -66,6 +68,46 @@ def bench_inference(batch: int = 16, repeats: int = 20):
     dt = (time.perf_counter() - t0) / repeats
     return {"inference_batch": batch, "inference_ms_per_batch": dt * 1e3,
             "inference_fps": batch / dt}
+
+
+def bench_latency(repeats: int = 50, refine_iters: int = 2):
+    """Single-frame (batch-1) pose+refine latency — the serving metric the
+    paper reports as ~0.06 s/frame (ALL of pose estimation + refinement,
+    arXiv:1901.04780). Each request is synced individually (no pipelining),
+    so on a remote-tunnel platform the number includes one host<->device
+    RTT; on a directly-attached chip the device-side time dominates."""
+    import jax
+    import jax.numpy as jnp
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.eval import InferencePipeline
+
+    n_pts, crop, num_obj = 1000, 192, 21
+    on_accel = jax.default_backend() != "cpu"
+    dtype = jnp.bfloat16 if on_accel else None
+    key = jax.random.key(0)
+    img = jax.random.normal(key, (1, crop, crop, 3), jnp.float32)
+    pts = jax.random.normal(key, (1, n_pts, 3), jnp.float32) * 0.05
+    choose = jax.random.randint(key, (1, n_pts), 0, crop * crop,
+                                dtype=jnp.int32)
+    obj = jnp.zeros((1,), jnp.int32)
+    posenet = PoseNet(num_obj=num_obj, dtype=dtype)
+    refiner = PoseRefineNet(num_obj=num_obj, dtype=dtype)
+    pose_params = jax.jit(posenet.init)(key, img, pts, choose, obj)
+    out = jax.jit(posenet.apply)(pose_params, img, pts, choose, obj)
+    refine_params = jax.jit(refiner.init)(key, pts, out["emb"], obj)
+    pipe = InferencePipeline(posenet, refiner, refine_iters=refine_iters)
+    _sync(pipe(pose_params, refine_params, img, pts, choose, obj))
+    lats = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync(pipe(pose_params, refine_params, img, pts, choose, obj))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    mid = lats[len(lats) // 2]
+    return {"latency_refine_iters": refine_iters,
+            "latency_ms_median": mid * 1e3,
+            "latency_ms_p90": lats[int(len(lats) * 0.9)] * 1e3,
+            "latency_vs_paper_frame": 0.06 / mid}
 
 
 def bench_train_step(batch: int = 8, repeats: int = 10):
@@ -275,8 +317,8 @@ def bench_train_e2e(batch: int = 16, steps: int = 60, workers: int = 4,
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="all",
-                   choices=["all", "knn", "inference", "train", "scaling",
-                            "loader", "train_e2e"])
+                   choices=["all", "knn", "inference", "latency", "train",
+                            "scaling", "loader", "train_e2e"])
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--dataset_root", default=None,
                    help="existing YCB-format root for --what loader "
@@ -293,6 +335,8 @@ def main(argv=None):
             results.update(bench_knn())
         if args.what in ("all", "inference"):
             results.update(bench_inference(batch=args.batch))
+        if args.what == "latency":
+            results.update(bench_latency())
         if args.what in ("all", "train"):
             results.update(bench_train_step())
         if args.what == "scaling":
