@@ -237,11 +237,27 @@ def bench_loader(workers: int = 4, batch: int = 16,
     for ep in range(1, 1 + epochs):
         n_warm += sum(int(np.asarray(b.valid).size) for b in loader.epoch(ep))
     warm = n_warm / (time.perf_counter() - t0)
-    return {"loader_workers": workers,
-            "loader_cold_samples_per_s": cold,
-            "loader_warm_samples_per_s": warm,
-            "loader_cache_hit_rate": ds.cache.hits /
-            max(ds.cache.hits + ds.cache.misses, 1)}
+    out = {"loader_workers": workers,
+           "loader_cold_samples_per_s": cold,
+           "loader_warm_samples_per_s": warm,
+           "loader_cache_hit_rate": ds.cache.hits /
+           max(ds.cache.hits + ds.cache.misses, 1)}
+
+    # fork-worker + shared-memory ring mode (the production path; parent
+    # cache is warm at fork so workers inherit decoded frames COW)
+    ring = BatchLoader(ds, batch, shuffle=True, num_workers=workers,
+                       drop_last=False, worker_mode="process")
+    if ring.worker_mode == "process":   # linux only
+        sum(1 for _ in ring.epoch(0))   # spin up + settle the pool
+        t0 = time.perf_counter()
+        n_ring = 0
+        for ep in range(1, 1 + epochs):
+            n_ring += sum(int(np.asarray(b.valid).size)
+                          for b in ring.epoch(ep))
+        out["loader_ring_samples_per_s"] = \
+            n_ring / (time.perf_counter() - t0)
+        ring.close()
+    return out
 
 
 def bench_train_e2e(batch: int = 16, steps: int = 60, workers: int = 4,
@@ -269,8 +285,10 @@ def bench_train_e2e(batch: int = 16, steps: int = 60, workers: int = 4,
                                    n_test=2, seed=0)
     ds = YCBDataset(root, mode="train", num_points=1000, crop_size=192,
                     cache_frames=8192)
+    for i in range(len(ds)):   # warm the frame cache BEFORE the pool forks
+        ds[i]
     loader = BatchLoader(ds, batch, shuffle=True, num_workers=workers,
-                         drop_last=True)
+                         drop_last=True, worker_mode="process")
     cfg = RunConfig.preset("ycb", num_points=1000, crop_size=192)
     posenet = PoseNet(num_obj=len(ds.classes), dtype=jnp.bfloat16)
     refiner = PoseRefineNet(num_obj=len(ds.classes), dtype=jnp.bfloat16)

@@ -19,6 +19,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--worker_mode", default="process",
+                   choices=["process", "thread"],
+                   help="loader workers: fork processes + shared-memory "
+                        "sample ring (linux; reference parity with its "
+                        "num_workers=10 fork loader) or a thread pool")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_rate", type=float, default=0.1)
     p.add_argument("--w", type=float, default=0.015)
@@ -56,7 +61,8 @@ def main(argv=None):
         args.dataset,
         **overrides,
         dataset_root=args.dataset_root, batch_size=args.batch_size,
-        grad_accum=args.grad_accum, num_workers=args.workers, lr=args.lr,
+        grad_accum=args.grad_accum, num_workers=args.workers,
+        worker_mode=args.worker_mode, lr=args.lr,
         lr_rate=args.lr_rate, w=args.w, w_rate=args.w_rate,
         decay_margin=args.decay_margin, refine_margin=args.refine_margin,
         noise_trans=args.noise_trans, refine_iters=args.iteration,

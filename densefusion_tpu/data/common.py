@@ -61,7 +61,7 @@ def choose_mask_pixels(mask_crop: np.ndarray, num_points: int,
 def assemble_sample(
     *,
     rgb: np.ndarray | None = None,   # (H, W, 3) full frame, jitter applied
-    mask: np.ndarray,                # (H, W) bool valid-object pixels
+    mask: np.ndarray | None = None,  # (H, W) bool valid-object pixels
     bbox: tuple[int, int, int, int],  # tight (rmin, rmax, cmin, cmax), pre-snap
     point_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     model_points: np.ndarray,        # (M, 3) canonical, meters
@@ -74,6 +74,8 @@ def assemble_sample(
     add_t: np.ndarray | None = None,  # (3,) translation noise, meters
     rgb_transform=None,               # applied to the CROP (e.g. ColorJitter)
     crop_fn=None,                     # (rmin, rmax, cmin, cmax) -> crop rgb
+    mask_fn=None,                     # (rmin, rmax, cmin, cmax) -> bool window
+    frame_hw: tuple[int, int] | None = None,  # (H, W), required with mask_fn
 ) -> PoseSample:
     """Build one PoseSample. ``point_fn(rows, cols) -> (n, 3)`` back-projects
     absolute pixel coordinates to metric 3D (pinhole or ray-map).
@@ -83,13 +85,18 @@ def assemble_sample(
     wastes ~8x the pixels; per-crop jitter is the loader's hottest op on
     few-core hosts. ``crop_fn`` generalizes this: the caller produces the
     finished crop for the snapped window (compositing/noise/jitter restricted
-    to the consumed pixels), mutually exclusive with ``rgb``.
+    to the consumed pixels), mutually exclusive with ``rgb``. ``mask_fn``
+    likewise replaces the full-frame ``mask`` with a producer of just the
+    snapped window (the only region ever read) — the native loader path
+    computes it in one windowed C pass instead of a frame-sized one.
     """
-    h, w = mask.shape
+    h, w = frame_hw if mask is None else mask.shape
     rmin, rmax, cmin, cmax = snap_bbox(*bbox, img_h=h, img_w=w)
     crop_h, crop_w = rmax - rmin, cmax - cmin
 
-    choose = choose_mask_pixels(mask[rmin:rmax, cmin:cmax], num_points, rng)
+    mask_win = (mask[rmin:rmax, cmin:cmax] if mask is not None
+                else mask_fn(rmin, rmax, cmin, cmax))
+    choose = choose_mask_pixels(mask_win, num_points, rng)
     if choose is None:
         return PoseSample.invalid(num_points, model_points.shape[0], crop_size)
 

@@ -59,6 +59,8 @@ class YCBDataset:
         self._epoch = 0
         self.cache = ImageCache(cache_frames)
         self._label_ids: dict[str, list] = {}
+        self._meta_cache: dict[str, tuple] = {}
+        self._meta_cap = max(4 * cache_frames, 256)
         # 500 normal / 2600 once refinement starts (dataset.py:90-91)
         self.num_mesh = 2600 if refine else 500
 
@@ -109,14 +111,36 @@ class YCBDataset:
         return (base + "-color.png", base + "-depth.png",
                 base + "-label.png", base + "-meta.mat")
 
-    def _composite_front(self, label: np.ndarray, rng: np.random.Generator):
+    def _load_meta(self, path: str) -> tuple:
+        """Cached (cls_indexes, poses, factor_depth) — the .mat parse was
+        ~8% of the warm sample time and the result is static per frame."""
+        got = self._meta_cache.get(path)
+        if got is not None:
+            return got
+        meta = _load_mat(path)
+        got = (meta["cls_indexes"].flatten().astype(np.int32),
+               meta["poses"], float(meta["factor_depth"].flatten()[0]))
+        if len(self._meta_cache) >= self._meta_cap:   # FIFO-ish bound
+            self._meta_cache.pop(next(iter(self._meta_cache)), None)
+        self._meta_cache[path] = got
+        return got
+
+    def _composite_front(self, label: np.ndarray, depth: np.ndarray,
+                         rng: np.random.Generator):
         """Paste two object masks from another synthetic frame as occluders
         (dataset.py:116-137): their pixels are removed from the current label
         so the occluded object's visible mask shrinks. Jitter is applied once
         on the final crop (assemble_sample) rather than per source frame —
-        full-frame HSV jitter x3 was the loader's dominant cost."""
+        full-frame HSV jitter x3 was the loader's dominant cost.
+
+        Returns (label, mask_front, front, counts, bboxes); with the v4
+        native kernels the per-id depth-valid counts and tight bboxes of the
+        occluded label come out of the SAME frame pass (counts/bboxes are
+        None on the fallback paths or when no occluder was accepted)."""
         from densefusion_tpu import native
-        use_native = native.loader_kernels_supported()
+        fused = (native.fused_scan_supported()
+                 and depth.dtype == np.uint16 and label.dtype == np.uint8)
+        use_native = fused or native.loader_kernels_supported()
         for _ in range(5):
             seed_frame = self.syn[rng.integers(len(self.syn))]
             c_path, _, l_path, _ = self._frame_paths(seed_frame)
@@ -129,17 +153,23 @@ class YCBDataset:
             if len(ids) < 2:
                 continue
             pick = rng.choice(ids, size=2, replace=False)
-            if use_native:   # one GIL-free pass (runtime/dfnative.cpp)
+            if fused:        # one GIL-free pass incl. hist+bbox (dfnative v4)
+                t_label, mask_front, count, counts, bboxes = \
+                    native.apply_front_hist_bbox(
+                        label, f_label, depth, int(pick[0]), int(pick[1]))
+                if count > 1000:
+                    return t_label, mask_front, front, counts, bboxes
+            elif use_native:   # v3: separate hist pass follows
                 t_label, mask_front, count = native.apply_front(
                     label, f_label, int(pick[0]), int(pick[1]))
                 if count > 1000:
-                    return t_label, mask_front, front
+                    return t_label, mask_front, front, None, None
             else:
                 mask_front = ~np.isin(f_label, pick)  # True = NOT occluded
                 t_label = label * mask_front
                 if (t_label != 0).sum() > 1000:
-                    return t_label, mask_front, front
-        return label, None, None
+                    return t_label, mask_front, front, None, None
+        return label, None, None, None, None
 
     def __getitem__(self, index: int) -> PoseSample:
         rng = self._rng(index)
@@ -148,24 +178,33 @@ class YCBDataset:
         rgb = self.cache.load(c_path)[..., :3]
         depth = self.cache.load(d_path)
         label = self.cache.load(l_path)
-        meta = _load_mat(m_path)
+        objs, poses, cam_scale = self._load_meta(m_path)
         is_syn = not frame.startswith("data/")
+
+        from densefusion_tpu import native
+        kernels_ok = depth.dtype == np.uint16 and label.dtype == np.uint8
+        fused = native.fused_scan_supported() and kernels_ok
+        use_native = fused or (native.loader_kernels_supported()
+                               and kernels_ok)
 
         mask_front = None
         front = None
+        counts = bboxes = None
         if self.add_noise:
-            label, mask_front, front = self._composite_front(label, rng)
-
-        from densefusion_tpu import native
-        use_native = native.loader_kernels_supported() \
-            and depth.dtype == np.uint16 and label.dtype == np.uint8
-
-        objs = meta["cls_indexes"].flatten().astype(np.int32)
+            label, mask_front, front, counts, bboxes = \
+                self._composite_front(label, depth, rng)
 
         # random object with enough valid pixels (dataset.py:141-147)
         order = rng.permutation(len(objs))
         pick = None
-        if use_native:
+        if fused:
+            if counts is None:   # no accepted occluder: one hist+bbox pass
+                counts, bboxes = native.label_hist_bbox(label, depth)
+            for k in order:
+                if counts[objs[k]] > self.minimum_num_pt:
+                    pick = k
+                    break
+        elif use_native:
             counts = native.label_depth_hist(label, depth)
             for k in order:
                 if counts[objs[k]] > self.minimum_num_pt:
@@ -182,7 +221,18 @@ class YCBDataset:
             return PoseSample.invalid(self.num_points, self.num_mesh,
                                       self.crop_size)
         obj_id = int(objs[pick])
-        if use_native:
+        mask = None
+        mask_fn = None
+        if fused:
+            # bbox came out of the hist pass; the mask is produced later for
+            # just the snapped crop window (the only region ever read)
+            bb = bboxes[obj_id]
+            bbox = None if bb[0] < 0 else tuple(int(v) for v in bb)
+
+            def mask_fn(rmin, rmax, cmin, cmax, _label=label):
+                return native.object_mask_window(
+                    _label, depth, obj_id, rmin, rmax, cmin, cmax)
+        elif use_native:
             # one pass: label mask, depth-valid mask, tight bbox
             mask_label, mask, bbox, _ = native.object_mask(label, depth,
                                                            obj_id)
@@ -229,12 +279,11 @@ class YCBDataset:
                 crop = gaussian_pixel_noise(crop, rng, 7.0, seed=noise_seed)
             return crop
 
-        pose = meta["poses"][:, :, pick]
+        pose = poses[:, :, pick]
         R_gt = pose[:, :3].astype(np.float64)
         t_gt = pose[:, 3].astype(np.float64)
 
         cam = self._intrinsics(frame)
-        cam_scale = float(meta["factor_depth"].flatten()[0])
 
         add_t = (translation_noise(rng, self.noise_trans)
                  if self.add_noise else None)
@@ -245,7 +294,8 @@ class YCBDataset:
         point_fn = pinhole_point_fn(depth, cam, cam_scale)
 
         return assemble_sample(
-            crop_fn=crop_fn, mask=mask, bbox=bbox, point_fn=point_fn,
+            crop_fn=crop_fn, mask=mask, mask_fn=mask_fn,
+            frame_hw=label.shape, bbox=bbox, point_fn=point_fn,
             model_points=model, target=target,
             obj_idx=obj_id - 1,  # 0-based class (dataset.py:232)
             sym=(obj_id - 1) in YCB_SYM,

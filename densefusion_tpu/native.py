@@ -92,6 +92,20 @@ def _load():
             lib.df_gaussian_noise.restype = None
             lib.df_gaussian_noise.argtypes = [
                 _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_uint64]
+        if hasattr(lib, "df_label_hist_bbox"):    # v4 entry points
+            lib.df_label_hist_bbox.restype = None
+            lib.df_label_hist_bbox.argtypes = [
+                _u8p, _u16p, ctypes.c_int64, ctypes.c_int64, _i64p, _i64p]
+            lib.df_apply_front_hist_bbox.restype = ctypes.c_int64
+            lib.df_apply_front_hist_bbox.argtypes = [
+                _u8p, _u8p, _u16p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, _u8p, _u8p, _i64p, _i64p]
+            lib.df_object_mask_window.restype = None
+            lib.df_object_mask_window.argtypes = [
+                _u8p, _u16p] + [ctypes.c_int64] * 6 + [_u8p]
+            lib.df_add_scaled.restype = None
+            lib.df_add_scaled.argtypes = [
+                _f32p, ctypes.c_int64, _f32p, ctypes.c_float]
         if hasattr(lib, "df_label_depth_hist"):   # v3 entry points
             lib.df_label_depth_hist.restype = None
             lib.df_label_depth_hist.argtypes = [
@@ -302,6 +316,76 @@ def object_mask(label: np.ndarray, depth: np.ndarray, obj_id: int
     box = None if bbox[0] < 0 else (int(bbox[0]), int(bbox[1]),
                                     int(bbox[2]), int(bbox[3]))
     return mask_label.view(bool), mask_valid.view(bool), box, int(count)
+
+
+def fused_scan_supported() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "df_label_hist_bbox")
+
+
+def _unpack_bboxes(bbox: np.ndarray) -> np.ndarray:
+    """(256, 4) int64 per-id (rmin, rmax_excl, cmin, cmax_excl); rows of -1
+    mean the id never appears."""
+    return bbox.reshape(256, 4)
+
+
+def label_hist_bbox(label: np.ndarray, depth: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """One pass: per-id depth-valid pixel counts (256,) AND per-id tight
+    bboxes (256, 4) of the label image."""
+    lib = _load()
+    h, w = label.shape
+    lab = np.ascontiguousarray(label, np.uint8)
+    dep = np.ascontiguousarray(depth, np.uint16)
+    counts = np.empty(256, np.int64)
+    bbox = np.empty(256 * 4, np.int64)
+    lib.df_label_hist_bbox(_ptr(lab, _u8p), _ptr(dep, _u16p), h, w,
+                           _ptr(counts, _i64p), _ptr(bbox, _i64p))
+    return counts, _unpack_bboxes(bbox)
+
+
+def apply_front_hist_bbox(label: np.ndarray, f_label: np.ndarray,
+                          depth: np.ndarray, id0: int, id1: int
+                          ) -> tuple[np.ndarray, np.ndarray, int,
+                                     np.ndarray, np.ndarray]:
+    """apply_front + label_hist_bbox fused into one frame pass: returns
+    (new_label, front_mask(bool), surviving_count, counts, bboxes)."""
+    lib = _load()
+    h, w = label.shape
+    lab = np.ascontiguousarray(label, np.uint8)
+    fl = np.ascontiguousarray(f_label, np.uint8)
+    dep = np.ascontiguousarray(depth, np.uint16)
+    out = np.empty_like(lab)
+    front = np.empty(lab.shape, np.uint8)
+    counts = np.empty(256, np.int64)
+    bbox = np.empty(256 * 4, np.int64)
+    count = lib.df_apply_front_hist_bbox(
+        _ptr(lab, _u8p), _ptr(fl, _u8p), _ptr(dep, _u16p), h, w, id0, id1,
+        _ptr(out, _u8p), _ptr(front, _u8p), _ptr(counts, _i64p),
+        _ptr(bbox, _i64p))
+    return out, front.view(bool), int(count), counts, _unpack_bboxes(bbox)
+
+
+def object_mask_window(label: np.ndarray, depth: np.ndarray, obj_id: int,
+                       r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+    """Depth-valid (label == id) mask of the [r0:r1, c0:c1] window only."""
+    lib = _load()
+    lab = np.ascontiguousarray(label, np.uint8)
+    dep = np.ascontiguousarray(depth, np.uint16)
+    out = np.empty((r1 - r0, c1 - c0), np.uint8)
+    lib.df_object_mask_window(_ptr(lab, _u8p), _ptr(dep, _u16p),
+                              label.shape[1], r0, r1, c0, c1, obj_id,
+                              _ptr(out, _u8p))
+    return out.view(bool)
+
+
+def add_scaled(img: np.ndarray, pool: np.ndarray, scale: float) -> np.ndarray:
+    """In-place img += scale * pool[:img.size] on float32 buffers (the
+    noise-pool fast path; pool must be a contiguous f32 view >= img.size)."""
+    lib = _load()
+    lib.df_add_scaled(_ptr(img, _f32p), img.size, _ptr(pool, _f32p),
+                      ctypes.c_float(scale))
+    return img
 
 
 def compose_crop(rgb: np.ndarray, back: np.ndarray | None,

@@ -97,14 +97,21 @@ class Trainer:
 
     def _build_data(self, refine: bool) -> None:
         cfg = self.cfg
+        # phase rebuild changes static sample shapes (YCB mesh 500 -> 2600):
+        # retire any existing worker pools before the shapes move
+        for old in ("train_loader", "test_loader"):
+            if hasattr(self, old):
+                getattr(self, old).close()
         self.train_ds = self.dataset_factory(cfg, "train", refine)
         self.test_ds = self.dataset_factory(cfg, "test", refine)
         self.train_loader = BatchLoader(
             self.train_ds, cfg.batch_size, shuffle=True,
-            num_workers=cfg.num_workers, seed=cfg.seed)
+            num_workers=cfg.num_workers, seed=cfg.seed,
+            worker_mode=cfg.worker_mode)
         self.test_loader = BatchLoader(
             self.test_ds, cfg.batch_size, shuffle=False,
-            num_workers=cfg.num_workers, drop_last=False, seed=cfg.seed)
+            num_workers=cfg.num_workers, drop_last=False, seed=cfg.seed,
+            worker_mode=cfg.worker_mode)
 
     def _rebuild_steps(self, reset_opt: bool = True) -> None:
         """(Re)create jitted steps + optimizer for the current phase."""

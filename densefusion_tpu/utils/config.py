@@ -44,6 +44,9 @@ class RunConfig:
     log_dir: str = "experiments/logs"
     checkpoint_every_steps: int = 1000
     num_workers: int = 4
+    # "process": fork workers + shared-memory sample ring (near-linear
+    # scaling, linux only); "thread": GIL-sharing pool (safe everywhere)
+    worker_mode: str = "process"
     knn_backend: str = "auto"
     bf16_compute: bool = False
 

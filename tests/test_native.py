@@ -146,6 +146,87 @@ def test_color_jitter_native_matches_numpy(rng):
     np.testing.assert_allclose(got, want, atol=0.35)  # f32 vs f64 HSV paths
 
 
+def test_color_jitter_all_op_orders(rng):
+    """The fused single/two-pass jitter must match the sequential numpy
+    reference for EVERY op order — in particular contrast before vs after
+    hue (different mean-gray handling) and every pairwise order."""
+    import itertools
+    from densefusion_tpu.data.augment import apply_color_jitter
+    img = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+    factors = np.array([1.15, 0.85, 1.2, 0.04], np.float32)
+    for order in itertools.permutations([0, 1, 2, 3]):
+        ops = np.asarray(order, np.int32)
+        got = native.color_jitter(img, ops, factors)
+        want = apply_color_jitter(img.astype(np.float64), (ops, factors))
+        np.testing.assert_allclose(got, want, atol=0.35,
+                                   err_msg=f"order={order}")
+    # subsets (an op can be disabled) and the empty op list
+    for ops in ([], [1], [3], [1, 3], [3, 1], [0, 2], [3, 0, 1]):
+        ops = np.asarray(ops, np.int32)
+        got = native.color_jitter(img, ops, factors)
+        want = apply_color_jitter(img.astype(np.float64), (ops, factors))
+        np.testing.assert_allclose(got, want, atol=0.35,
+                                   err_msg=f"ops={ops}")
+
+
+@pytest.mark.skipif(not native.fused_scan_supported(),
+                    reason="v4 kernels unavailable")
+def test_fused_scan_kernels_parity(rng):
+    """v4 fused hist+bbox / windowed-mask kernels vs the v3 per-op kernels
+    and numpy."""
+    h, w = 97, 133
+    label = np.zeros((h, w), np.uint8)
+    label[10:40, 20:70] = 3
+    label[35:80, 60:100] = 7
+    label[0, w - 1] = 9      # single-pixel object at a word-tail position
+    depth = (rng.integers(0, 3, (h, w)) * 500).astype(np.uint16)
+    f_label = np.zeros((h, w), np.uint8)
+    f_label[30:60, 40:80] = 2
+    f_label[5:15, 5:25] = 4
+
+    counts, bboxes = native.label_hist_bbox(label, depth)
+    np.testing.assert_array_equal(
+        counts[1:], native.label_depth_hist(label, depth)[1:])
+    for i in (3, 7, 9):
+        rs, cs = np.nonzero(label == i)
+        np.testing.assert_array_equal(
+            bboxes[i], (rs.min(), rs.max() + 1, cs.min(), cs.max() + 1))
+    assert tuple(bboxes[5]) == (-1, -1, -1, -1)
+
+    out, front, n, counts2, bb2 = native.apply_front_hist_bbox(
+        label, f_label, depth, 2, 4)
+    o3, f3, n3 = native.apply_front(label, f_label, 2, 4)
+    np.testing.assert_array_equal(out, o3)
+    np.testing.assert_array_equal(front, f3)
+    assert n == n3
+    c3, b3 = native.label_hist_bbox(out, depth)
+    np.testing.assert_array_equal(counts2, c3)
+    np.testing.assert_array_equal(bb2, b3)
+
+    _, mv, _, _ = native.object_mask(label, depth, 7)
+    win = native.object_mask_window(label, depth, 7, 30, 85, 55, 105)
+    np.testing.assert_array_equal(win, mv[30:85, 55:105])
+
+
+@pytest.mark.skipif(not native.fused_scan_supported(),
+                    reason="v4 kernels unavailable")
+def test_add_scaled_and_noise_pool(rng):
+    img = rng.uniform(0, 255, 999).astype(np.float32)
+    pool = rng.standard_normal(2048).astype(np.float32)
+    got = native.add_scaled(img.copy(), pool[7:], 3.0)
+    np.testing.assert_allclose(got, img + 3.0 * pool[7:7 + 999], rtol=1e-6)
+
+    from densefusion_tpu.data.augment import gaussian_pixel_noise
+    base = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
+    a = gaussian_pixel_noise(base.copy(), rng, 7.0, seed=1234)
+    b = gaussian_pixel_noise(base.copy(), rng, 7.0, seed=1234)
+    c = gaussian_pixel_noise(base.copy(), rng, 7.0, seed=99)
+    np.testing.assert_array_equal(a, b)   # deterministic in seed
+    assert not np.array_equal(a, c)
+    resid = (a - base).ravel()
+    assert abs(resid.mean()) < 0.5 and 6.0 < resid.std() < 8.0
+
+
 def test_gaussian_noise_native_deterministic(rng):
     base = rng.uniform(0, 255, (32, 32, 3)).astype(np.float32)
     a = native.gaussian_noise(base.copy(), 7.0, seed=123)
