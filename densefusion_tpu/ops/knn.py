@@ -71,7 +71,7 @@ def nearest_neighbor_xla(query: jax.Array, ref: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _nn_kernel(q_ref, r_ref, rsq_ref, dist_out, idx_out, *, ref_tile: int,
-               num_ref: int):
+               num_ref: int, reduction: str = "iota"):
     """One query tile vs. all reference tiles with a running argmin.
 
     q_ref:    (TQ, 8)   query coords (xyz zero-padded to 8 sublanes of K)
@@ -79,6 +79,13 @@ def _nn_kernel(q_ref, r_ref, rsq_ref, dist_out, idx_out, *, ref_tile: int,
     rsq_ref:  (1, R_pad) reference squared norms (padded entries = +inf)
     dist_out: (TQ, 1)   min squared distance (unnormalized by q²; monotonic)
     idx_out:  (TQ, 1)   argmin index (int32)
+
+    ``reduction`` selects the lane-reduction formulation (measured on v5e,
+    ``examples/tpu_knn_bench.py``):
+      - "argmin": jnp.min + jnp.argmin — the variadic (value, index) reduce
+        Mosaic emits for argmin is the kernel's bottleneck.
+      - "iota":   jnp.min, then a second masked-iota min to recover the
+        index — two cheap single-value reductions instead of one variadic.
     """
     q = q_ref[:]  # (TQ, 8)
     num_tiles = num_ref // ref_tile
@@ -93,7 +100,15 @@ def _nn_kernel(q_ref, r_ref, rsq_ref, dist_out, idx_out, *, ref_tile: int,
             preferred_element_type=jnp.float32,
         )                                                     # (TQ, TR)
         tile_d = jnp.min(scores, axis=-1)                     # (TQ,)
-        tile_i = jnp.argmin(scores, axis=-1).astype(jnp.int32) + t * ref_tile
+        if reduction == "argmin":
+            tile_i = (jnp.argmin(scores, axis=-1).astype(jnp.int32)
+                      + t * ref_tile)
+        else:
+            # first index attaining the min: min over an iota masked to the
+            # argmin positions (ties -> lowest index, matching argmin)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            masked = jnp.where(scores <= tile_d[:, None], lanes, ref_tile)
+            tile_i = jnp.min(masked, axis=-1) + t * ref_tile
         take = tile_d < best_d
         return jnp.where(take, tile_d, best_d), jnp.where(take, tile_i, best_i)
 
@@ -104,10 +119,13 @@ def _nn_kernel(q_ref, r_ref, rsq_ref, dist_out, idx_out, *, ref_tile: int,
     idx_out[:] = best_i[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("query_tile", "ref_tile", "reduction"))
 def nearest_neighbor_pallas(query: jax.Array, ref: jax.Array,
                             query_tile: int = 512,
-                            ref_tile: int = 512) -> tuple[jax.Array, jax.Array]:
+                            ref_tile: int = 512,
+                            reduction: str = "iota"
+                            ) -> tuple[jax.Array, jax.Array]:
     """Pallas fused distance+argmin. query (Q,3), ref (R,3) -> ((Q,), (Q,)).
 
     Returned distances are exact squared L2 (``q² − 2qr + r²``; the q² term is
@@ -126,7 +144,8 @@ def nearest_neighbor_pallas(query: jax.Array, ref: jax.Array,
 
     grid = (q_pad // query_tile,)
     dist, idx = pl.pallas_call(
-        functools.partial(_nn_kernel, ref_tile=ref_tile, num_ref=r_pad),
+        functools.partial(_nn_kernel, ref_tile=ref_tile, num_ref=r_pad,
+                          reduction=reduction),
         grid=grid,
         in_specs=[
             pl.BlockSpec((query_tile, 8), lambda i: (i, 0),

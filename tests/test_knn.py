@@ -36,6 +36,29 @@ def test_xla_chunked_matches_brute(rng):
     np.testing.assert_allclose(np.asarray(d), bd, atol=1e-4)
 
 
+def test_pallas_reduction_variants_match(rng):
+    """Both lane-reduction formulations (variadic argmin / masked-iota
+    two-pass) must agree with the XLA path, including tie-breaking to the
+    lowest index."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from densefusion_tpu.ops.knn import nearest_neighbor_xla
+    q = rng.standard_normal((600, 3)).astype(np.float32)
+    r = np.concatenate([rng.standard_normal((250, 3)).astype(np.float32)] * 2)
+    d_want, i_want = nearest_neighbor_xla(jnp.asarray(q), jnp.asarray(r))
+    with jax.disable_jit():
+        with pltpu.force_tpu_interpret_mode():
+            for reduction in ("argmin", "iota"):
+                d, i = nearest_neighbor_pallas(jnp.asarray(q), jnp.asarray(r),
+                                               reduction=reduction)
+                np.testing.assert_allclose(np.asarray(d), np.asarray(d_want),
+                                           rtol=1e-5, atol=1e-5)
+                # duplicated refs force ties: both must pick the low index
+                np.testing.assert_array_equal(np.asarray(i),
+                                              np.asarray(i_want),
+                                              err_msg=reduction)
+
+
 def test_pallas_interpret_matches_xla(rng):
     # interpret mode runs the kernel logic on CPU
     q = rng.standard_normal((600, 3)).astype(np.float32) * 0.5
