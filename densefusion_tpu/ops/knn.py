@@ -177,6 +177,219 @@ def nearest_neighbor_pallas(query: jax.Array, ref: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Batched Pallas kernel (batch in the grid, sublane reduction)
+# ---------------------------------------------------------------------------
+#
+# The rank-2 kernel above vmaps badly: XLA lays the resulting rank-3 arrays
+# out as T(8, 128) over the trailing dims, so the (B, Q, 8) padded coords
+# expand 16x and the (B, Q, 1) outputs 128x in HBM — a 23.6 GB program at
+# the batch-32 training shape (B·N·M queries). This kernel instead:
+#   * carries batch as a grid dimension over (B, 8, Q) / (B, 8, R)
+#     TRANSPOSED coordinates — the (8, lanes) trailing tile is exactly the
+#     f32 layout tile, so there is zero padding waste;
+#   * reduces over the SUBLANE axis (refs on sublanes, queries on lanes):
+#     a sublane min is elementwise vreg ops, measurably faster than the
+#     cross-lane reduction the lane-axis formulation needs.
+
+
+def _nn_kernel_bt(q_ref, r_ref, rsq_ref, dist_out, idx_out, *, ref_tile: int,
+                  num_ref: int):
+    """One (batch, query-tile) grid step, refs streamed over sublane tiles.
+
+    q_ref:    (1, 8, TQ)    query coords, transposed (xyz + zero pad rows)
+    r_ref:    (1, 8, R_pad) this sample's reference coords, transposed
+    rsq_ref:  (1, 1, R_pad) reference squared norms (+inf on padding)
+    dist_out: (1, 1, TQ)    min ``‖r‖² − 2 q·r`` per query (monotonic)
+    idx_out:  (1, 1, TQ)    argmin index (int32, ties -> lowest)
+    """
+    q = q_ref[0]                                    # (8, TQ)
+    num_tiles = num_ref // ref_tile
+
+    def body(t, carry):
+        best_d, best_i = carry
+        r = r_ref[0, :, pl.ds(t * ref_tile, ref_tile)]        # (8, TR)
+        rsq = rsq_ref[0, 0, pl.ds(t * ref_tile, ref_tile)]    # (TR,)
+        scores = rsq[:, None] - 2.0 * jax.lax.dot_general(
+            r, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # (TR, TQ)
+        tile_d = jnp.min(scores, axis=0)                      # (TQ,)
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        masked = jnp.where(scores <= tile_d[None, :], rows, ref_tile)
+        tile_i = jnp.min(masked, axis=0) + t * ref_tile
+        take = tile_d < best_d
+        return (jnp.where(take, tile_d, best_d),
+                jnp.where(take, tile_i, best_i))
+
+    init = (jnp.full((q.shape[1],), jnp.inf, jnp.float32),
+            jnp.zeros((q.shape[1],), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, num_tiles, body, init)
+    dist_out[0, 0, :] = best_d
+    idx_out[0, 0, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("query_tile", "ref_tile"))
+def nearest_neighbor_pallas_batched(query: jax.Array, ref: jax.Array,
+                                    query_tile: int = 512,
+                                    ref_tile: int = 512
+                                    ) -> tuple[jax.Array, jax.Array]:
+    """Batched fused 1-NN: query (B, Q, 3), ref (B, R, 3) ->
+    ((B, Q), (B, Q)) exact squared distances + indices. This is the training
+    ADD-S path (B samples × N·M hypothesis points vs each sample's M target
+    points) — see the layout rationale above."""
+    bsz, num_q, _ = query.shape
+    num_r = ref.shape[1]
+    q_pad = ((num_q + query_tile - 1) // query_tile) * query_tile
+    r_pad = ((num_r + ref_tile - 1) // ref_tile) * ref_tile
+
+    qt = jnp.swapaxes(_pad_to(query.astype(jnp.float32), q_pad, 1), 1, 2)
+    qt = _pad_to(qt, 8, 1)                               # (B, 8, Q_pad)
+    rt = jnp.swapaxes(_pad_to(ref.astype(jnp.float32), r_pad, 1), 1, 2)
+    rt = _pad_to(rt, 8, 1)                               # (B, 8, R_pad)
+    rsq = jnp.sum(rt * rt, axis=1)                       # (B, R_pad)
+    rsq = jnp.where(jnp.arange(r_pad)[None, :] < num_r, rsq,
+                    jnp.inf)[:, None, :]                 # (B, 1, R_pad)
+
+    grid = (bsz, q_pad // query_tile)
+    dist, idx = pl.pallas_call(
+        functools.partial(_nn_kernel_bt, ref_tile=ref_tile, num_ref=r_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, query_tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, r_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, query_tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, query_tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, 1, q_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 1, q_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * (2 * q_pad * r_pad * 8 + 2 * q_pad * r_pad),
+            bytes_accessed=bsz * ((q_pad * 8 + r_pad * 9) * 4 + q_pad * 8),
+            transcendentals=0,
+        ),
+    )(qt, rt, rsq)
+
+    dist = dist[:, 0, :num_q] + jnp.sum(query.astype(jnp.float32) ** 2,
+                                        axis=-1)
+    return dist, idx[:, 0, :num_q]
+
+
+def _remap_kernel_bt(q_ref, r_ref, rsq_ref, coord_out, *, ref_tile: int,
+                     num_ref: int, extract: str = "select"):
+    """Fused ADD-S remap: nearest-ref COORDINATES per query, no index
+    gather — ``jnp.take_along_axis`` over the argmin indices lowers to a
+    scalar gather loop on TPU that costs ~9x the whole NN kernel at the
+    training shape (docs/PERF.md round 2c).
+
+    ``extract`` picks how the winning ref's coords leave the tile:
+      - "select":  per coordinate, min over the rows masked to the argmin
+        row — three exact where+sublane-min passes, no matmul.
+      - "matmul" / "matmul_exact": one-hot MXU matmul at default / HIGHEST
+        precision (default rounds coords through bf16 passes).
+
+    coord_out: (1, 8, TQ) — rows 0..2 hold the xyz of the nearest ref.
+    """
+    q = q_ref[0]                                    # (8, TQ)
+    num_tiles = num_ref // ref_tile
+    tq = q.shape[1]
+
+    def body(t, carry):
+        best_d, best_c = carry
+        r = r_ref[0, :, pl.ds(t * ref_tile, ref_tile)]        # (8, TR)
+        rsq = rsq_ref[0, 0, pl.ds(t * ref_tile, ref_tile)]    # (TR,)
+        scores = rsq[:, None] - 2.0 * jax.lax.dot_general(
+            r, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # (TR, TQ)
+        tile_d = jnp.min(scores, axis=0)                      # (TQ,)
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        masked = jnp.where(scores <= tile_d[None, :], rows, ref_tile)
+        tile_i = jnp.min(masked, axis=0)                      # (TQ,) local
+        sel = rows == tile_i[None, :]                         # (TR, TQ)
+        if extract == "select":
+            inf = jnp.float32(jnp.inf)
+            coords = jnp.stack(
+                [jnp.min(jnp.where(sel, r[c][:, None], inf), axis=0)
+                 for c in range(3)] + [jnp.zeros((tq,), jnp.float32)] * 5)
+        else:
+            precision = (jax.lax.Precision.HIGHEST
+                         if extract == "matmul_exact" else None)
+            coords = jax.lax.dot_general(                     # (8, TQ)
+                r, sel.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+        take = tile_d < best_d
+        return (jnp.where(take, tile_d, best_d),
+                jnp.where(take[None, :], coords, best_c))
+
+    init = (jnp.full((tq,), jnp.inf, jnp.float32),
+            jnp.zeros((8, tq), jnp.float32))
+    _, best_c = jax.lax.fori_loop(0, num_tiles, body, init)
+    coord_out[0] = best_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("query_tile", "ref_tile", "extract"))
+def adds_remap_pallas_batched(query: jax.Array, ref: jax.Array,
+                              query_tile: int = 512,
+                              ref_tile: int = 512,
+                              extract: str = "select") -> jax.Array:
+    """query (B, Q, 3), ref (B, R, 3) -> (B, Q, 3): each query's nearest ref
+    point, computed fully in-kernel (see :func:`_remap_kernel_bt`). Output is
+    non-differentiable (the remap target is ground-truth data in every call
+    site; indices are piecewise-constant anyway)."""
+    bsz, num_q, _ = query.shape
+    num_r = ref.shape[1]
+    q_pad = ((num_q + query_tile - 1) // query_tile) * query_tile
+    r_pad = ((num_r + ref_tile - 1) // ref_tile) * ref_tile
+
+    query = jax.lax.stop_gradient(query)
+    ref = jax.lax.stop_gradient(ref)
+    qt = jnp.swapaxes(_pad_to(query.astype(jnp.float32), q_pad, 1), 1, 2)
+    qt = _pad_to(qt, 8, 1)                               # (B, 8, Q_pad)
+    rt = jnp.swapaxes(_pad_to(ref.astype(jnp.float32), r_pad, 1), 1, 2)
+    rt = _pad_to(rt, 8, 1)                               # (B, 8, R_pad)
+    rsq = jnp.sum(rt * rt, axis=1)
+    rsq = jnp.where(jnp.arange(r_pad)[None, :] < num_r, rsq,
+                    jnp.inf)[:, None, :]                 # (B, 1, R_pad)
+
+    grid = (bsz, q_pad // query_tile)
+    coords = pl.pallas_call(
+        functools.partial(_remap_kernel_bt, ref_tile=ref_tile,
+                          num_ref=r_pad, extract=extract),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, query_tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, r_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, query_tile), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, 8, q_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * (4 * q_pad * r_pad * 8 + 4 * q_pad * r_pad),
+            bytes_accessed=bsz * ((q_pad * 8 * 2 + r_pad * 9) * 4),
+            transcendentals=0,
+        ),
+    )(qt, rt, rsq)
+
+    return jnp.swapaxes(coords[:, :3, :num_q], 1, 2)     # (B, Q, 3)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -194,12 +407,21 @@ def nearest_neighbor(query: jax.Array, ref: jax.Array,
     Pallas kernel on TPU and the XLA path elsewhere."""
     if query.ndim != ref.ndim:
         raise ValueError(f"rank mismatch: {query.shape} vs {ref.shape}")
+    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
     if query.ndim > 2:
+        if use_pallas:
+            # batched kernel (batch rides the grid) — vmapping the rank-2
+            # kernel forces catastrophically padded rank-3 layouts
+            lead = query.shape[:-2]
+            d, i = nearest_neighbor_pallas_batched(
+                query.reshape((-1,) + query.shape[-2:]),
+                ref.reshape((-1,) + ref.shape[-2:]))
+            return d.reshape(lead + d.shape[-1:]), \
+                i.reshape(lead + i.shape[-1:])
         fn = functools.partial(nearest_neighbor, backend=backend)
         for _ in range(query.ndim - 2):
             fn = jax.vmap(fn)
         return fn(query, ref)
-    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
     if use_pallas:
         return nearest_neighbor_pallas(query, ref)
     return nearest_neighbor_xla(query, ref)
@@ -235,10 +457,22 @@ def adds_remap_targets(pred: jax.Array, target: jax.Array,
 
     The argmin indices are piecewise-constant in the inputs, so the NN search
     runs on stop-gradiented inputs — this keeps the Pallas kernel (which has
-    no VJP rule) out of the autodiff path; gradients flow through the
-    ``take_along_axis`` gather and the distance computed by the caller, which
-    is the correct subgradient of the ADD-S objective.
+    no VJP rule) out of the autodiff path; the remapped target is ground
+    truth (never differentiated), and the caller's distance provides the
+    correct ADD-S subgradient through ``pred``.
+
+    On TPU this runs the fully fused remap kernel (coords extracted with a
+    one-hot MXU matmul per tile): the ``take_along_axis`` fallback lowers to
+    a scalar gather loop that costs ~9x the NN search itself at the training
+    shape (B, N·M, 3) (docs/PERF.md round 2c).
     """
+    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
+    if use_pallas and pred.ndim in (2, 3):
+        lead = pred.shape[:-2]
+        out = adds_remap_pallas_batched(
+            pred.reshape((-1,) + pred.shape[-2:]),
+            target.reshape((-1,) + target.shape[-2:]))
+        return out.reshape(lead + out.shape[-2:])
     _, idx = nearest_neighbor(jax.lax.stop_gradient(pred),
                               jax.lax.stop_gradient(target), backend=backend)
     return jnp.take_along_axis(target, idx[..., None].astype(jnp.int32), axis=-2)

@@ -78,5 +78,41 @@ def main():
                               flush=True)
 
 
+def main_batched():
+    """Batched kernel on the training ADD-S shapes + the full train step."""
+    from densefusion_tpu.ops.knn import nearest_neighbor_pallas_batched
+    rng = np.random.default_rng(0)
+    print("\n=== batched kernel (train ADD-S remap shapes) ===", flush=True)
+    for bsz in (8, 16, 32):
+        q = jnp.asarray(rng.standard_normal((bsz, 500_000, 3)), jnp.float32)
+        r = jnp.asarray(rng.standard_normal((bsz, 500, 3)), jnp.float32)
+        # spot-exactness on sample 0 (XLA per-sample)
+        d, i = nearest_neighbor_pallas_batched(q, r)
+        d_want, i_want = nearest_neighbor_xla(q[0], r[0])
+        np.testing.assert_allclose(sync(d[0]), sync(d_want), rtol=2e-4,
+                                   atol=1e-5)
+        assert (sync(i[0]) != sync(i_want)).mean() < 1e-3
+        t = bench(nearest_neighbor_pallas_batched, q, r, repeats=10)
+        pairs = bsz * 500_000 * 512 / t / 1e9
+        print(f"  B={bsz:3d} x 500k x 500: {t*1e3:8.2f} ms "
+              f"{pairs:7.1f} Gpairs/s", flush=True)
+
+    print("\n=== full pose train step (grad, adds) ===", flush=True)
+    from densefusion_tpu.cli.benchmark import bench_train_step
+    for bsz in (8, 16, 32):
+        try:
+            out = bench_train_step(batch=bsz, repeats=5)
+            print(f"  batch {bsz:3d}: {out['train_ms_per_step']:8.2f} ms "
+                  f"({out['train_frames_per_s']:7.1f} frames/s)", flush=True)
+        except Exception as e:
+            print(f"  batch {bsz:3d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--batched" in sys.argv:
+        main_batched()
+    else:
+        main()
+        main_batched()

@@ -59,6 +59,47 @@ def test_pallas_reduction_variants_match(rng):
                                               err_msg=reduction)
 
 
+def test_pallas_batched_matches_xla(rng):
+    """The batch-in-grid kernel (sublane reduction, transposed coords) must
+    match the per-sample XLA path, each sample against its OWN refs."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from densefusion_tpu.ops.knn import (
+        nearest_neighbor_pallas_batched, nearest_neighbor_xla)
+    q = rng.standard_normal((3, 700, 3)).astype(np.float32)
+    r = rng.standard_normal((3, 300, 3)).astype(np.float32)
+    r[1] = np.concatenate([r[1, :150]] * 2)     # ties in sample 1
+    with jax.disable_jit():
+        with pltpu.force_tpu_interpret_mode():
+            d, i = nearest_neighbor_pallas_batched(jnp.asarray(q),
+                                                   jnp.asarray(r))
+    for b in range(3):
+        d_want, i_want = nearest_neighbor_xla(jnp.asarray(q[b]),
+                                              jnp.asarray(r[b]))
+        np.testing.assert_allclose(np.asarray(d)[b], np.asarray(d_want),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i)[b], np.asarray(i_want))
+
+
+def test_fused_remap_matches_gather(rng):
+    """The fused coord-remap kernel must equal XLA NN + gather, including
+    tie-breaking (duplicated refs -> same coordinates either way)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from densefusion_tpu.ops.knn import (
+        adds_remap_pallas_batched, nearest_neighbor_xla)
+    q = rng.standard_normal((2, 600, 3)).astype(np.float32)
+    r = rng.standard_normal((2, 300, 3)).astype(np.float32)
+    with jax.disable_jit():
+        with pltpu.force_tpu_interpret_mode():
+            got = adds_remap_pallas_batched(jnp.asarray(q), jnp.asarray(r))
+    for b in range(2):
+        _, idx = nearest_neighbor_xla(jnp.asarray(q[b]), jnp.asarray(r[b]))
+        want = r[b][np.asarray(idx)]
+        np.testing.assert_allclose(np.asarray(got)[b], want, rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_pallas_interpret_matches_xla(rng):
     # interpret mode runs the kernel logic on CPU
     q = rng.standard_normal((600, 3)).astype(np.float32) * 0.5
