@@ -57,8 +57,12 @@ def _hypothesis_distances(pred: jax.Array, target: jax.Array,
     b, n, m, _ = pred.shape
     tgt = jnp.broadcast_to(target[:, None], pred.shape)
     if use_adds:
+        # active=sym: the in-kernel search runs only for symmetric samples
+        # (the reference's per-sample branch, lib/loss.py:40) — skipped rows
+        # emit zeros that the where below never selects
         remapped = adds_remap_targets(
             pred.reshape(b, n * m, 3), target, backend=knn_backend,
+            active=sym,
         ).reshape(pred.shape)
         tgt = jnp.where(sym[:, None, None, None], remapped, tgt)
     return jnp.linalg.norm(pred - tgt, axis=-1).mean(axis=-1)

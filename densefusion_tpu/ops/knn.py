@@ -284,12 +284,19 @@ def nearest_neighbor_pallas_batched(query: jax.Array, ref: jax.Array,
     return dist, idx[:, 0, :num_q]
 
 
-def _remap_kernel_bt(q_ref, r_ref, rsq_ref, coord_out, *, ref_tile: int,
-                     num_ref: int, extract: str = "select"):
+def _remap_kernel_bt(active_ref, q_ref, r_ref, rsq_ref, coord_out, *,
+                     ref_tile: int, num_ref: int, extract: str = "select"):
     """Fused ADD-S remap: nearest-ref COORDINATES per query, no index
     gather — ``jnp.take_along_axis`` over the argmin indices lowers to a
     scalar gather loop on TPU that costs ~9x the whole NN kernel at the
     training shape (docs/PERF.md round 2c).
+
+    ``active_ref`` is a scalar-prefetched (B,) int32 mask: the whole search
+    is skipped for inactive batch rows (the training loss only consumes the
+    remap for SYMMETRIC samples, the reference's per-sample branch at
+    ``lib/loss.py:40`` — on YCB that is ~1/4 of a batch in expectation, so
+    gating recovers ~4x of the step's dominant term). Skipped rows emit
+    zeros, which the caller's ``where`` discards.
 
     ``extract`` picks how the winning ref's coords leave the tile:
       - "select":  per coordinate, min over the rows masked to the argmin
@@ -332,22 +339,33 @@ def _remap_kernel_bt(q_ref, r_ref, rsq_ref, coord_out, *, ref_tile: int,
         return (jnp.where(take, tile_d, best_d),
                 jnp.where(take[None, :], coords, best_c))
 
-    init = (jnp.full((tq,), jnp.inf, jnp.float32),
-            jnp.zeros((8, tq), jnp.float32))
-    _, best_c = jax.lax.fori_loop(0, num_tiles, body, init)
-    coord_out[0] = best_c
+    b = pl.program_id(0)
+
+    @pl.when(active_ref[b] != 0)
+    def _run():
+        init = (jnp.full((tq,), jnp.inf, jnp.float32),
+                jnp.zeros((8, tq), jnp.float32))
+        _, best_c = jax.lax.fori_loop(0, num_tiles, body, init)
+        coord_out[0] = best_c
+
+    @pl.when(active_ref[b] == 0)
+    def _skip():
+        coord_out[0] = jnp.zeros((8, tq), jnp.float32)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("query_tile", "ref_tile", "extract"))
 def adds_remap_pallas_batched(query: jax.Array, ref: jax.Array,
+                              active: jax.Array | None = None,
                               query_tile: int = 512,
                               ref_tile: int = 512,
                               extract: str = "select") -> jax.Array:
     """query (B, Q, 3), ref (B, R, 3) -> (B, Q, 3): each query's nearest ref
     point, computed fully in-kernel (see :func:`_remap_kernel_bt`). Output is
     non-differentiable (the remap target is ground-truth data in every call
-    site; indices are piecewise-constant anyway)."""
+    site; indices are piecewise-constant anyway). ``active`` is an optional
+    (B,) bool mask — rows with ``active == False`` skip the search and
+    return zeros (the caller discards them)."""
     bsz, num_q, _ = query.shape
     num_r = ref.shape[1]
     q_pad = ((num_q + query_tile - 1) // query_tile) * query_tile
@@ -362,29 +380,33 @@ def adds_remap_pallas_batched(query: jax.Array, ref: jax.Array,
     rsq = jnp.sum(rt * rt, axis=1)
     rsq = jnp.where(jnp.arange(r_pad)[None, :] < num_r, rsq,
                     jnp.inf)[:, None, :]                 # (B, 1, R_pad)
+    if active is None:
+        act = jnp.ones((bsz,), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
 
     grid = (bsz, q_pad // query_tile)
     coords = pl.pallas_call(
         functools.partial(_remap_kernel_bt, ref_tile=ref_tile,
                           num_ref=r_pad, extract=extract),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, query_tile), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, r_pad), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, r_pad), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, query_tile), lambda b, i: (b, 0, i),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, query_tile), lambda b, i, s: (b, 0, i)),
+                pl.BlockSpec((1, 8, r_pad), lambda b, i, s: (b, 0, 0)),
+                pl.BlockSpec((1, 1, r_pad), lambda b, i, s: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, query_tile),
+                                   lambda b, i, s: (b, 0, i)),
+        ),
         out_shape=jax.ShapeDtypeStruct((bsz, 8, q_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=bsz * (4 * q_pad * r_pad * 8 + 4 * q_pad * r_pad),
             bytes_accessed=bsz * ((q_pad * 8 * 2 + r_pad * 9) * 4),
             transcendentals=0,
         ),
-    )(qt, rt, rsq)
+    )(act, qt, rt, rsq)
 
     return jnp.swapaxes(coords[:, :3, :num_q], 1, 2)     # (B, Q, 3)
 
@@ -448,7 +470,8 @@ def knn(query: jax.Array, ref: jax.Array, k: int = 1,
 
 
 def adds_remap_targets(pred: jax.Array, target: jax.Array,
-                       backend: str = "auto") -> jax.Array:
+                       backend: str = "auto",
+                       active: jax.Array | None = None) -> jax.Array:
     """ADD-S target remap: for each predicted point, substitute its nearest
     target point (the corrected semantics of the reference's symmetric-object
     branch, ``lib/loss.py:40-47`` / ``tools/eval_linemod.py:123-128``).
@@ -471,7 +494,8 @@ def adds_remap_targets(pred: jax.Array, target: jax.Array,
         lead = pred.shape[:-2]
         out = adds_remap_pallas_batched(
             pred.reshape((-1,) + pred.shape[-2:]),
-            target.reshape((-1,) + target.shape[-2:]))
+            target.reshape((-1,) + target.shape[-2:]),
+            None if active is None else active.reshape(-1))
         return out.reshape(lead + out.shape[-2:])
     _, idx = nearest_neighbor(jax.lax.stop_gradient(pred),
                               jax.lax.stop_gradient(target), backend=backend)

@@ -100,6 +100,28 @@ def test_fused_remap_matches_gather(rng):
                                    atol=1e-6)
 
 
+def test_fused_remap_active_mask(rng):
+    """Inactive rows skip the search and return zeros; active rows match
+    the gather reference (the sym-gating of the training loss)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from densefusion_tpu.ops.knn import (
+        adds_remap_pallas_batched, nearest_neighbor_xla)
+    q = rng.standard_normal((3, 600, 3)).astype(np.float32)
+    r = rng.standard_normal((3, 300, 3)).astype(np.float32)
+    active = jnp.asarray([True, False, True])
+    with jax.disable_jit():
+        with pltpu.force_tpu_interpret_mode():
+            got = adds_remap_pallas_batched(jnp.asarray(q), jnp.asarray(r),
+                                            active)
+    got = np.asarray(got)
+    assert not np.any(got[1])
+    for b in (0, 2):
+        _, idx = nearest_neighbor_xla(jnp.asarray(q[b]), jnp.asarray(r[b]))
+        np.testing.assert_allclose(got[b], r[b][np.asarray(idx)], rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_pallas_interpret_matches_xla(rng):
     # interpret mode runs the kernel logic on CPU
     q = rng.standard_normal((600, 3)).astype(np.float32) * 0.5
