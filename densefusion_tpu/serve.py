@@ -120,3 +120,39 @@ class PoseEstimator:
             return None
         q, t, c, _ = self.estimate_batch([sample])
         return q[0], t[0], float(c[0])
+
+    def estimate_frame(self, rgb, depth, label, intrinsics,
+                       unit_scale: float = 1.0,
+                       object_ids: Sequence[int] | None = None,
+                       min_pixels: int = 50,
+                       label_to_class=lambda label_id: label_id - 1):
+        """All objects of one frame in ONE device dispatch.
+
+        ``label`` is an integer object-id map (SegNet argmax output or
+        PoseCNN labels — the role of ``segnet_results`` /
+        ``tools/eval_ycb.py:152``'s per-roi masks); every id present (or the
+        ids in ``object_ids``) with at least ``min_pixels`` depth-valid
+        pixels becomes one detection, and the whole frame is estimated as a
+        single batch — the serving pattern the reference's per-roi python
+        loop (``tools/eval_ycb.py:147``) cannot express.
+
+        Returns ``{label_id: (quat (4,) wxyz, trans (3,), conf)}``;
+        undetected / too-small objects are simply absent.
+        """
+        label = np.asarray(label)
+        ids = (sorted(int(i) for i in np.unique(label) if i != 0)
+               if object_ids is None else list(object_ids))
+        samples, kept = [], []
+        for i in ids:
+            sample = self.make_sample(rgb, depth, label == i,
+                                      label_to_class(i), intrinsics,
+                                      unit_scale)
+            if sample.valid and int(np.count_nonzero(
+                    (label == i) & (np.asarray(depth) != 0))) >= min_pixels:
+                samples.append(sample)
+                kept.append(i)
+        if not samples:
+            return {}
+        quat, trans, conf, _ = self.estimate_batch(samples)
+        return {i: (quat[k], trans[k], float(conf[k]))
+                for k, i in enumerate(kept)}

@@ -82,6 +82,32 @@ def test_estimate_batch(estimator):
     assert valid.all()
 
 
+def test_estimate_frame(estimator):
+    """Whole-frame API: every labeled object becomes one detection in a
+    single batch; ids below min_pixels or absent are dropped."""
+    est, root = estimator
+    base = os.path.join(root, "data", "01")
+    rgb = _load_image(os.path.join(base, "rgb", "0000.png"))
+    depth = _load_image(os.path.join(base, "depth", "0000.png"))
+    mask = _load_image(os.path.join(base, "mask", "0000.png"))[..., 0] == 255
+    label = np.where(mask, 1, 0).astype(np.uint8)
+    # single-pixel phantom object: must be filtered by min_pixels
+    label[0, 0] = 7
+
+    out = est.estimate_frame(rgb, depth, label, LINEMOD_CAM,
+                             unit_scale=1e-3,
+                             label_to_class=lambda i: 0)
+    assert set(out) == {1}
+    q, t, c = out[1]
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-4)
+    assert 0.0 < c < 1.0
+
+    assert 0.2 < t[2] < 2.0
+
+    assert est.estimate_frame(rgb, np.zeros_like(depth), label,
+                              LINEMOD_CAM) == {}
+
+
 def test_from_checkpoint_refine_phase(tmp_path, estimator):
     """Serving must load refine-phase checkpoints (params-only restore)."""
     from densefusion_tpu.train.state import make_optimizer
