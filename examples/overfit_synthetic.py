@@ -33,6 +33,10 @@ def main():
                    help="after pose training, train the refiner this many "
                         "steps and evaluate with 2 refinement iterations")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--objlist", default="1",
+                   help="comma-separated LineMOD object ids; include 10 or "
+                        "11 (eggbox/glue) to train the symmetric ADD-S "
+                        "remap path")
     p.add_argument("--realism", action="store_true",
                    help="domain-randomized scenes (backgrounds, lighting, "
                         "distractors) for generalization instead of overfit")
@@ -56,33 +60,39 @@ def main():
     from densefusion_tpu.train.state import make_optimizer
     from densefusion_tpu.utils.config import RunConfig
 
+    objlist = tuple(int(x) for x in args.objlist.split(","))
     root = tempfile.mkdtemp(prefix="lm_overfit_")
-    generate_linemod_style_dataset(root, objlist=(1,), n_train=args.frames,
+    generate_linemod_style_dataset(root, objlist=objlist,
+                                   n_train=args.frames,
                                    n_test=args.test_frames * 10, seed=1,
                                    realism=args.realism)
     ds = LineModDataset(root, mode="train", num_points=args.points,
                         crop_size=args.crop, num_mesh_points=args.mesh,
-                        objlist=[1], add_noise=True, noise_trans=0.005)
+                        objlist=list(objlist), add_noise=True,
+                        noise_trans=0.005)
     test_ds = LineModDataset(root, mode="test", num_points=args.points,
                              crop_size=args.crop, num_mesh_points=args.mesh,
-                             objlist=[1], add_noise=False)
+                             objlist=list(objlist), add_noise=False)
     loader = BatchLoader(ds, args.batch, shuffle=True, num_workers=2)
     test_loader = BatchLoader(test_ds, 2, shuffle=False, drop_last=False,
                               num_workers=1)
+    # 0.1·diameter success threshold; single-object runs intended (the
+    # first object's diameter is used for the success rate)
     diam_threshold = ds.diameters()[0] * 0.1
 
-    cfg = RunConfig(num_objects=1, num_points=args.points,
+    cfg = RunConfig(num_objects=len(objlist), num_points=args.points,
                     crop_size=args.crop, lr=args.lr)
-    posenet = PoseNet(num_obj=1)
-    refiner = PoseRefineNet(num_obj=1)
+    posenet = PoseNet(num_obj=len(objlist))
+    refiner = PoseRefineNet(num_obj=len(objlist))
     batch0 = next(iter(loader.epoch(0)))
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                batch0)
     tx = make_optimizer(args.lr)
-    step_fn = make_pose_train_step(posenet, tx, use_adds=False,
-                                   knn_backend="xla")
-    eval_fn = make_eval_step(posenet, refiner, 0, use_adds=False,
-                             knn_backend="xla")
+    # symmetric objects in the objlist (eggbox/glue) switch the ADD-S remap
+    # on — on TPU that trains through the sym-gated Pallas remap kernel
+    use_adds = bool(ds.sym_list)
+    step_fn = make_pose_train_step(posenet, tx, use_adds=use_adds)
+    eval_fn = make_eval_step(posenet, refiner, 0, use_adds=use_adds)
     w = np.float32(0.015)
 
     t0 = time.time()
@@ -116,8 +126,7 @@ def main():
     refine_result = None
     if args.refine_steps:
         refine_step = make_refine_train_step(posenet, refiner, tx,
-                                             refine_iters=2,
-                                             knn_backend="xla")
+                                             refine_iters=2)
         state = state.replace(opt_state=tx.init(state.params_refine))
         done = 0
         while done < args.refine_steps:
@@ -130,8 +139,7 @@ def main():
                 if done >= args.refine_steps:
                     break
             epoch += 1
-        refine_eval = make_eval_step(posenet, refiner, 2, use_adds=False,
-                                     knn_backend="xla")
+        refine_eval = make_eval_step(posenet, refiner, 2, use_adds=use_adds)
         rd = run_eval(refine_eval)
         refine_result = {
             "test_dis": rd,
