@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from densefusion_tpu.geometry import quat_normalize, quat_to_matrix
-from densefusion_tpu.ops import adds_remap_targets
+from densefusion_tpu.ops.knn import adds_min_sqdist_minus_qsq
 
 
 class PoseLossOutput(NamedTuple):
@@ -53,19 +53,35 @@ def _hypothesis_distances(pred: jax.Array, target: jax.Array,
                           sym: jax.Array, use_adds: bool,
                           knn_backend: str) -> jax.Array:
     """pred (B, N, M, 3) hypothesis-transformed model points, target (B, M, 3),
-    sym (B,) bool -> (B, N) mean point distances (ADD, or ADD-S where sym)."""
+    sym (B,) bool -> (B, N) mean point distances (ADD, or ADD-S where sym).
+
+    The ADD (paired) branch keeps the exact difference form (a factored
+    ``‖p‖² − 2 p·t + ‖t‖²`` would put an f32 cancellation floor of ~6e-5 m
+    under perfect poses). The symmetric branch takes its min squared
+    distance straight out of the remap kernel
+    (:func:`adds_min_sqdist_minus_qsq`, exact custom gradient) — the
+    remapped-target tensor and its select/diff passes are never
+    materialized; that removed most of the loss's elementwise (B, N, M, 3)
+    traffic at batch 32 (docs/PERF.md round 2c).
+
+    The factored symmetric d² cancels catastrophically once poses approach
+    exact (computed value can reach or cross 0 while the true distance is
+    ~1e-4 m), and ``sqrt`` has a NaN gradient at exactly 0 — so the sqrt is
+    floored at 1e-12 (a 1 µm distance floor, zero gradient below it). Without
+    the floor, training on near-converged symmetric samples NaNs."""
     b, n, m, _ = pred.shape
-    tgt = jnp.broadcast_to(target[:, None], pred.shape)
+    diff = pred - target[:, None]
+    d2 = jnp.sum(diff * diff, axis=-1)                         # (B, N, M)
     if use_adds:
         # active=sym: the in-kernel search runs only for symmetric samples
         # (the reference's per-sample branch, lib/loss.py:40) — skipped rows
         # emit zeros that the where below never selects
-        remapped = adds_remap_targets(
-            pred.reshape(b, n * m, 3), target, backend=knn_backend,
-            active=sym,
-        ).reshape(pred.shape)
-        tgt = jnp.where(sym[:, None, None, None], remapped, tgt)
-    return jnp.linalg.norm(pred - tgt, axis=-1).mean(axis=-1)
+        dm = adds_min_sqdist_minus_qsq(
+            pred.reshape(b, n * m, 3), target, sym, knn_backend,
+        ).reshape(b, n, m)
+        pred2 = jnp.sum(pred * pred, axis=-1)
+        d2 = jnp.where(sym[:, None, None], pred2 + dm, d2)
+    return jnp.sqrt(jnp.maximum(d2, 1e-12)).mean(axis=-1)
 
 
 def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,

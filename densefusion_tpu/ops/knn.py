@@ -304,7 +304,11 @@ def _remap_kernel_bt(active_ref, q_ref, r_ref, rsq_ref, coord_out, *,
       - "matmul" / "matmul_exact": one-hot MXU matmul at default / HIGHEST
         precision (default rounds coords through bf16 passes).
 
-    coord_out: (1, 8, TQ) — rows 0..2 hold the xyz of the nearest ref.
+    coord_out: (1, 8, TQ) — rows 0..2 hold the xyz of the nearest ref;
+    row 3 holds the winning ``‖r‖² − 2 q·r`` score (the min squared
+    distance MINUS ‖q‖², which the caller adds back — this lets the loss
+    consume the ADD-S distance without ever materializing the
+    (B, N, M, 3) difference tensor).
     """
     q = q_ref[0]                                    # (8, TQ)
     num_tiles = num_ref // ref_tile
@@ -327,7 +331,8 @@ def _remap_kernel_bt(active_ref, q_ref, r_ref, rsq_ref, coord_out, *,
             inf = jnp.float32(jnp.inf)
             coords = jnp.stack(
                 [jnp.min(jnp.where(sel, r[c][:, None], inf), axis=0)
-                 for c in range(3)] + [jnp.zeros((tq,), jnp.float32)] * 5)
+                 for c in range(3)]
+                + [tile_d] + [jnp.zeros((tq,), jnp.float32)] * 4)
         else:
             precision = (jax.lax.Precision.HIGHEST
                          if extract == "matmul_exact" else None)
@@ -335,6 +340,7 @@ def _remap_kernel_bt(active_ref, q_ref, r_ref, rsq_ref, coord_out, *,
                 r, sel.astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
+            coords = coords.at[3].set(tile_d)
         take = tile_d < best_d
         return (jnp.where(take, tile_d, best_d),
                 jnp.where(take[None, :], coords, best_c))
@@ -359,13 +365,16 @@ def adds_remap_pallas_batched(query: jax.Array, ref: jax.Array,
                               active: jax.Array | None = None,
                               query_tile: int = 512,
                               ref_tile: int = 512,
-                              extract: str = "select") -> jax.Array:
-    """query (B, Q, 3), ref (B, R, 3) -> (B, Q, 3): each query's nearest ref
-    point, computed fully in-kernel (see :func:`_remap_kernel_bt`). Output is
-    non-differentiable (the remap target is ground-truth data in every call
-    site; indices are piecewise-constant anyway). ``active`` is an optional
-    (B,) bool mask — rows with ``active == False`` skip the search and
-    return zeros (the caller discards them)."""
+                              extract: str = "select"
+                              ) -> tuple[jax.Array, jax.Array]:
+    """query (B, Q, 3), ref (B, R, 3) -> (coords (B, Q, 3), dm (B, Q)):
+    each query's nearest ref point plus its winning ``‖r‖² − 2 q·r`` score
+    (min squared distance minus ``‖q‖²``), computed fully in-kernel (see
+    :func:`_remap_kernel_bt`). Outputs are non-differentiable (the remap
+    target is ground-truth data in every call site; use
+    :func:`adds_min_sqdist_minus_qsq` for the differentiable distance).
+    ``active`` is an optional (B,) bool mask — rows with ``active == False``
+    skip the search and return zeros (the caller discards them)."""
     bsz, num_q, _ = query.shape
     num_r = ref.shape[1]
     q_pad = ((num_q + query_tile - 1) // query_tile) * query_tile
@@ -408,7 +417,8 @@ def adds_remap_pallas_batched(query: jax.Array, ref: jax.Array,
         ),
     )(act, qt, rt, rsq)
 
-    return jnp.swapaxes(coords[:, :3, :num_q], 1, 2)     # (B, Q, 3)
+    return (jnp.swapaxes(coords[:, :3, :num_q], 1, 2),   # (B, Q, 3)
+            coords[:, 3, :num_q])                        # (B, Q)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +502,7 @@ def adds_remap_targets(pred: jax.Array, target: jax.Array,
     use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
     if use_pallas and pred.ndim in (2, 3):
         lead = pred.shape[:-2]
-        out = adds_remap_pallas_batched(
+        out, _ = adds_remap_pallas_batched(
             pred.reshape((-1,) + pred.shape[-2:]),
             target.reshape((-1,) + target.shape[-2:]),
             None if active is None else active.reshape(-1))
@@ -500,3 +510,61 @@ def adds_remap_targets(pred: jax.Array, target: jax.Array,
     _, idx = nearest_neighbor(jax.lax.stop_gradient(pred),
                               jax.lax.stop_gradient(target), backend=backend)
     return jnp.take_along_axis(target, idx[..., None].astype(jnp.int32), axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable ADD-S min distance (no (B, N, M, 3) difference tensor)
+# ---------------------------------------------------------------------------
+#
+# The symmetric loss needs d²(pred) = min_k ‖pred − tgt_k‖², differentiable
+# in pred. Materializing the remapped targets and taking the norm costs
+# several passes over the (B, N·M, 3) hypothesis tensor; instead we return
+# the kernel's winning score dm = d² − ‖pred‖² directly (the caller adds the
+# differentiable ‖pred‖² term back), with the analytically exact gradient
+# ∇_pred dm = −2 · nearest_coords — the argmin is piecewise-constant, so
+# away from ties d(dm) = d(−2 pred·c + ‖c‖²) = −2 c · d(pred).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def adds_min_sqdist_minus_qsq(pred: jax.Array, target: jax.Array,
+                              active: jax.Array | None = None,
+                              backend: str = "auto") -> jax.Array:
+    """pred (B, Q, 3), target (B, R, 3) -> (B, Q): for each pred point, the
+    squared distance to its nearest target point MINUS ``‖pred‖²``
+    (monotonic-equivalent; add ``jnp.sum(pred**2, -1)`` for the true d²).
+    Differentiable in ``pred`` (exact subgradient); ``target`` is treated as
+    data. ``active`` (B,) gates the search per batch row (inactive rows
+    return zeros)."""
+    dm, _ = _min_sqdist_impl(pred, target, active, backend)
+    return dm
+
+
+def _min_sqdist_impl(pred, target, active, backend):
+    use_pallas = backend == "pallas" or (backend == "auto" and _on_tpu())
+    if use_pallas:
+        coords, dm = adds_remap_pallas_batched(pred, target, active)
+        return dm, coords
+    p = jax.lax.stop_gradient(pred)
+    t = jax.lax.stop_gradient(target)
+    d2, idx = nearest_neighbor(p, t, backend=backend)
+    coords = jnp.take_along_axis(t, idx[..., None].astype(jnp.int32),
+                                 axis=-2)
+    dm = d2 - jnp.sum(p * p, axis=-1)
+    if active is not None:
+        act = active.astype(bool)
+        dm = jnp.where(act[:, None], dm, 0.0)
+        coords = jnp.where(act[:, None, None], coords, 0.0)
+    return dm, coords
+
+
+def _min_sqdist_fwd(pred, target, active, backend):
+    dm, coords = _min_sqdist_impl(pred, target, active, backend)
+    return dm, (coords, jnp.zeros_like(target))
+
+
+def _min_sqdist_bwd(backend, res, g):
+    coords, tgt_zeros = res
+    return (-2.0 * g[..., None] * coords, tgt_zeros, None)
+
+
+adds_min_sqdist_minus_qsq.defvjp(_min_sqdist_fwd, _min_sqdist_bwd)

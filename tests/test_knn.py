@@ -92,12 +92,17 @@ def test_fused_remap_matches_gather(rng):
     r = rng.standard_normal((2, 300, 3)).astype(np.float32)
     with jax.disable_jit():
         with pltpu.force_tpu_interpret_mode():
-            got = adds_remap_pallas_batched(jnp.asarray(q), jnp.asarray(r))
+            got, dm = adds_remap_pallas_batched(jnp.asarray(q),
+                                                jnp.asarray(r))
     for b in range(2):
-        _, idx = nearest_neighbor_xla(jnp.asarray(q[b]), jnp.asarray(r[b]))
+        d2, idx = nearest_neighbor_xla(jnp.asarray(q[b]), jnp.asarray(r[b]))
         want = r[b][np.asarray(idx)]
         np.testing.assert_allclose(np.asarray(got)[b], want, rtol=1e-5,
                                    atol=1e-6)
+        # row-3 score = min squared distance minus ||q||^2
+        want_dm = np.asarray(d2) - np.sum(q[b] * q[b], -1)
+        np.testing.assert_allclose(np.asarray(dm)[b], want_dm, rtol=1e-4,
+                                   atol=1e-5)
 
 
 def test_fused_remap_active_mask(rng):
@@ -112,14 +117,48 @@ def test_fused_remap_active_mask(rng):
     active = jnp.asarray([True, False, True])
     with jax.disable_jit():
         with pltpu.force_tpu_interpret_mode():
-            got = adds_remap_pallas_batched(jnp.asarray(q), jnp.asarray(r),
-                                            active)
+            got, _ = adds_remap_pallas_batched(jnp.asarray(q),
+                                               jnp.asarray(r), active)
     got = np.asarray(got)
     assert not np.any(got[1])
     for b in (0, 2):
         _, idx = nearest_neighbor_xla(jnp.asarray(q[b]), jnp.asarray(r[b]))
         np.testing.assert_allclose(got[b], r[b][np.asarray(idx)], rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_min_sqdist_value_and_gradient(rng):
+    """adds_min_sqdist_minus_qsq must match the direct min-distance and its
+    custom VJP must equal the autodiff gradient of the materialized form
+    (away from ties)."""
+    from densefusion_tpu.ops.knn import adds_min_sqdist_minus_qsq
+    pred = jnp.asarray(rng.standard_normal((2, 50, 3)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((2, 30, 3)), jnp.float32)
+    active = jnp.asarray([True, True])
+
+    def factored(p):
+        dm = adds_min_sqdist_minus_qsq(p, target, active, "xla")
+        return jnp.sum(dm + jnp.sum(p * p, -1))
+
+    def direct(p):
+        d = jnp.sum((p[:, :, None] - target[:, None]) ** 2, -1)
+        return jnp.sum(jnp.min(d, -1))
+
+    np.testing.assert_allclose(np.asarray(factored(pred)),
+                               np.asarray(direct(pred)), rtol=1e-5)
+    g1 = np.asarray(jax.grad(factored)(pred))
+    g2 = np.asarray(jax.grad(direct)(pred))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+    # gated rows return zero value and zero gradient
+    gated = jnp.asarray([True, False])
+
+    def factored_gated(p):
+        return jnp.sum(adds_min_sqdist_minus_qsq(p, target, gated, "xla"))
+
+    assert not np.any(np.asarray(
+        adds_min_sqdist_minus_qsq(pred, target, gated, "xla"))[1])
+    assert not np.any(np.asarray(jax.grad(factored_gated)(pred))[1])
 
 
 def test_pallas_interpret_matches_xla(rng):

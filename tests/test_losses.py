@@ -116,6 +116,22 @@ def test_pose_loss_adds_symmetric_object(rng):
     assert float(out_asym.dis[0]) > 0.01
 
 
+def test_pose_loss_finite_gradient_at_exact_pose(rng):
+    """Regression: the factored symmetric d² (‖p‖² + kernel score) cancels to
+    ≤0 under near-exact poses; without the sqrt floor the gradient NaNs.
+    Both sym and non-sym rows must yield finite gradients at the optimum."""
+    p = _make_problem(rng)
+    b, n = p["points"].shape[:2]
+    conf = jnp.full((b, n), 0.9)
+    for sym in (jnp.ones((b,), bool), jnp.zeros((b,), bool)):
+        def f(r, t):
+            return pose_loss(r, t, conf, p["target"], p["model"], p["points"],
+                             sym=sym, w=0.015, knn_backend="xla").loss
+        gr, gt = jax.grad(f, argnums=(0, 1))(p["pred_r"], p["pred_t"])
+        assert np.all(np.isfinite(np.asarray(gr)))
+        assert np.all(np.isfinite(np.asarray(gt)))
+
+
 def test_pose_loss_no_gradient_through_canonicalization(rng):
     p = _make_problem(rng, noise=0.05)
     b, n = p["points"].shape[:2]
@@ -140,7 +156,8 @@ def test_refiner_loss_zero_at_optimum_and_canonicalizes(rng):
         jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (b, 4)),
         jnp.zeros((b, 3)), p["model"], p["model"],
         p["points"], sym=jnp.zeros((b,), bool), knn_backend="xla")
-    np.testing.assert_allclose(np.asarray(out.dis), 0.0, atol=1e-6)
+    # the loss floors sqrt(d²) at 1e-12, so dis reads exactly 1e-6 here
+    np.testing.assert_allclose(np.asarray(out.dis), 0.0, atol=2e-6)
     np.testing.assert_allclose(np.asarray(out.new_points),
                                np.asarray(p["points"]), atol=1e-6)
 
