@@ -36,7 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nepoch", type=int, default=500)
     p.add_argument("--repeat_epoch", type=int, default=None,
                    help="override the dataset preset's per-epoch repeat count")
+    p.add_argument("--num_objects", type=int, default=None,
+                   help="override the dataset preset's object count (e.g. a "
+                        "synthetic YCB-format root with fewer classes)")
     p.add_argument("--crop_size", type=int, default=192)
+    p.add_argument("--num_points", type=int, default=None,
+                   help="override the dataset preset's cloud size")
     p.add_argument("--resume", default="",
                    help="checkpoint directory to resume from")
     p.add_argument("--out_dir", default="trained_models")
@@ -57,6 +62,10 @@ def main(argv=None):
     overrides = {}
     if args.repeat_epoch is not None:
         overrides["repeat_epoch"] = args.repeat_epoch
+    if args.num_objects is not None:
+        overrides["num_objects"] = args.num_objects
+    if args.num_points is not None:
+        overrides["num_points"] = args.num_points
     cfg = RunConfig.preset(
         args.dataset,
         **overrides,

@@ -118,8 +118,10 @@ def ring_nearest_neighbor(query: jax.Array, ref: jax.Array, mesh: Mesh,
         nq = q_local.shape[0]
         # constants are VMA-unvarying; the carry becomes device-varying, so
         # mark the init accordingly for the replication checker
-        init = (jax.lax.pvary(jnp.full((nq,), jnp.inf, jnp.float32), axis),
-                jax.lax.pvary(jnp.full((nq,), 2 ** 31 - 1, jnp.int32), axis),
+        init = (jax.lax.pcast(jnp.full((nq,), jnp.inf, jnp.float32), axis,
+                              to="varying"),
+                jax.lax.pcast(jnp.full((nq,), 2 ** 31 - 1, jnp.int32), axis,
+                              to="varying"),
                 r_local)
         best_d, best_i, _ = jax.lax.fori_loop(0, n_shards, step, init)
         return best_d, best_i
