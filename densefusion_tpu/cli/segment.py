@@ -34,6 +34,10 @@ def main(argv=None):
                    help="write a 255/0 mask for this class id instead of the "
                         "full label map")
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--list", dest="list_file", default=None,
+                   help="text file of frame ids; only globbed images whose "
+                        "basename stem matches an id (as-is or %%04d) are "
+                        "segmented")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -45,6 +49,12 @@ def main(argv=None):
     from densefusion_tpu.data.schema import normalize_image
 
     paths = sorted(glob.glob(args.images))
+    if args.list_file:
+        with open(args.list_file) as f:
+            ids = {ln.strip() for ln in f if ln.strip()}
+        ids |= {f"{int(i):04d}" for i in ids if i.isdigit()}
+        paths = [p_ for p_ in paths
+                 if os.path.splitext(os.path.basename(p_))[0] in ids]
     if not paths:
         raise SystemExit(f"no images match {args.images!r}")
     os.makedirs(args.out_dir, exist_ok=True)

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop_size", type=int, default=192)
     p.add_argument("--num_points", type=int, default=None,
                    help="override the dataset preset's cloud size")
+    p.add_argument("--objlist", type=int, nargs="*", default=None,
+                   help="train on a subset of dataset object ids "
+                        "(linemod/cad); heads are sized to the subset")
     p.add_argument("--resume", default="",
                    help="checkpoint directory to resume from")
     p.add_argument("--out_dir", default="trained_models")
@@ -66,6 +69,15 @@ def main(argv=None):
         overrides["num_objects"] = args.num_objects
     if args.num_points is not None:
         overrides["num_points"] = args.num_points
+    if args.objlist:
+        overrides["objlist"] = tuple(args.objlist)
+        overrides.setdefault("num_objects", len(args.objlist))
+        if args.dataset == "linemod":
+            # sym_list = POSITIONS of eggbox/glue within the subset
+            from densefusion_tpu.data.linemod import LINEMOD_SYM_IDS
+            overrides["sym_list"] = tuple(
+                args.objlist.index(i) for i in LINEMOD_SYM_IDS
+                if i in args.objlist)
     cfg = RunConfig.preset(
         args.dataset,
         **overrides,

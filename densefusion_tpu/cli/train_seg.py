@@ -1,6 +1,14 @@
 """SegNet segmentation training CLI (capability parity with
 ``vanilla_segmentation/train.py``).
 
+``--format ycb`` (default) trains the reference's 22-class YCB-Video
+segmenter from ``-color.png``/``-label.png`` frames. ``--format linemod``
+trains a multi-object segmenter over a Linemod_preprocessed tree (labels
+are raw object ids) whose argmax masks — written by ``cli.segment
+--binary_class <obj>`` — serve as the ``segnet_results/`` that
+``LineModDataset(mode='eval')`` consumes; the reference shipped those masks
+precomputed with no in-repo trainer.
+
 Example::
 
     python -m densefusion_tpu.cli.train_seg \
@@ -16,11 +24,16 @@ import os
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset_root", required=True)
+    p.add_argument("--format", default="ycb", choices=["ycb", "linemod"],
+                   dest="fmt")
+    p.add_argument("--objlist", type=int, nargs="*", default=None,
+                   help="linemod format: subset of object ids (default all)")
     p.add_argument("--batch_size", type=int, default=3)
     p.add_argument("--n_epochs", type=int, default=600)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--workers", type=int, default=4)
-    p.add_argument("--num_classes", type=int, default=22)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="default: 22 for ycb, max(objlist)+1 for linemod")
     p.add_argument("--out_dir", default="trained_models/segnet")
     p.add_argument("--log_dir", default="experiments/logs/segnet")
     p.add_argument("--seed", type=int, default=0)
@@ -33,7 +46,9 @@ def main(argv=None):
     import jax
     from flax import serialization
 
-    from densefusion_tpu.data import SegDataset, BatchLoader, collate_seg
+    from densefusion_tpu.data import (
+        SegDataset, LinemodSegDataset, BatchLoader, collate_seg,
+    )
     from densefusion_tpu.data.loader import PrefetchIterator
     from densefusion_tpu.models import SegNet
     from densefusion_tpu.train.seg import (
@@ -46,8 +61,16 @@ def main(argv=None):
                           os.path.join(args.log_dir, "train_log.txt"))
     metrics = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
 
-    train_ds = SegDataset(args.dataset_root, "train", seed=args.seed)
-    test_ds = SegDataset(args.dataset_root, "test", seed=args.seed)
+    if args.fmt == "linemod":
+        train_ds = LinemodSegDataset(args.dataset_root, "train",
+                                     objlist=args.objlist, seed=args.seed)
+        test_ds = LinemodSegDataset(args.dataset_root, "test",
+                                    objlist=args.objlist, seed=args.seed)
+        num_classes = args.num_classes or train_ds.num_classes
+    else:
+        train_ds = SegDataset(args.dataset_root, "train", seed=args.seed)
+        test_ds = SegDataset(args.dataset_root, "test", seed=args.seed)
+        num_classes = args.num_classes or 22
     train_loader = BatchLoader(train_ds, args.batch_size,
                                collate_fn=collate_seg,
                                num_workers=args.workers, seed=args.seed)
@@ -55,7 +78,7 @@ def main(argv=None):
                               collate_fn=collate_seg, drop_last=False,
                               num_workers=args.workers)
 
-    segnet = SegNet(num_classes=args.num_classes)
+    segnet = SegNet(num_classes=num_classes)
     sample = next(iter(train_loader.epoch(0)))
     state, tx = create_seg_train_state(segnet, jax.random.key(args.seed),
                                        sample.rgb, lr=args.lr)
@@ -68,17 +91,19 @@ def main(argv=None):
         for batch in PrefetchIterator(train_loader.epoch(epoch)):
             state, loss = train_step(state, batch.rgb, batch.label)
             losses.append(float(loss))
-        test_losses, accs = [], []
+        test_losses, accs, ious = [], [], []
         for batch in PrefetchIterator(test_loader.epoch(0)):
-            loss, acc = eval_step(state.params, state.batch_stats,
-                                  batch.rgb, batch.label)
+            loss, acc, fg_iou = eval_step(state.params, state.batch_stats,
+                                          batch.rgb, batch.label)
             test_losses.append(float(loss))
             accs.append(float(acc))
-        tr, te, acc = (np.mean(losses), np.mean(test_losses), np.mean(accs))
+            ious.append(float(fg_iou))
+        tr, te = np.mean(losses), np.mean(test_losses)
+        acc, iou = np.mean(accs), np.mean(ious)
         logger.info(f"epoch {epoch} train {tr:.4f} test {te:.4f} "
-                    f"pix-acc {acc:.4f}")
+                    f"pix-acc {acc:.4f} fg-iou {iou:.4f}")
         metrics.write(kind="seg_epoch", epoch=epoch, train_loss=tr,
-                      test_loss=te, pixel_acc=acc)
+                      test_loss=te, pixel_acc=acc, fg_iou=iou)
         if te < best:  # best-checkpoint policy (vanilla train.py:103-106)
             best = te
             with open(os.path.join(args.out_dir, "segnet_best.msgpack"),

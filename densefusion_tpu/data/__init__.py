@@ -20,7 +20,9 @@ from densefusion_tpu.data.ply import read_ply_vertices, write_ply
 from densefusion_tpu.data.linemod import LineModDataset, LINEMOD_OBJLIST, LINEMOD_SYM
 from densefusion_tpu.data.ycb import YCBDataset, YCB_SYM
 from densefusion_tpu.data.cad import CADDataset
-from densefusion_tpu.data.seg import SegSample, SegDataset, collate_seg
+from densefusion_tpu.data.seg import (
+    SegSample, SegDataset, LinemodSegDataset, collate_seg,
+)
 from densefusion_tpu.data.loader import BatchLoader, PrefetchIterator
 from densefusion_tpu.data.fat import FATScene, verify_scene as verify_fat_scene
 from densefusion_tpu.data.synthetic import (
@@ -32,7 +34,7 @@ __all__ = [
     "read_ply_vertices", "write_ply",
     "LineModDataset", "LINEMOD_OBJLIST", "LINEMOD_SYM",
     "YCBDataset", "YCB_SYM", "CADDataset",
-    "SegSample", "SegDataset", "collate_seg",
+    "SegSample", "SegDataset", "LinemodSegDataset", "collate_seg",
     "BatchLoader", "PrefetchIterator",
     "FATScene", "verify_fat_scene",
     "generate_linemod_style_dataset", "generate_fat_style_scene",

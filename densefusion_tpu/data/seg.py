@@ -32,6 +32,73 @@ def _load_image(path: str):
     return np.array(Image.open(path))
 
 
+class LinemodSegDataset:
+    """LineMOD-format segmentation frames: rgb + binary object mask ->
+    object-id label maps.
+
+    Enables training ONE multi-object SegNet whose per-class argmax masks
+    (written by ``cli.segment --binary_class <obj>``) fill the
+    ``segnet_results/`` directory that ``LineModDataset(mode='eval')``
+    consumes — the reference shipped those masks precomputed
+    (``datasets/linemod/dataset.py:57-58``) with no in-repo trainer for
+    them; this closes that loop. Labels are the raw LineMOD object ids
+    (so ``num_classes`` must be ``max(objlist) + 1``; 16 for the full set).
+    Train-mode augmentation matches :class:`SegDataset` (ColorJitter +
+    joint flips, ``vanilla_segmentation/data_controller.py:53-82``).
+    """
+
+    def __init__(self, root: str, mode: str = "train",
+                 objlist: Sequence[int] | None = None, seed: int = 0,
+                 use_noise: bool | None = None):
+        from densefusion_tpu.data.linemod import LINEMOD_OBJLIST
+        self.root = root
+        self.mode = mode
+        self.use_noise = (mode == "train") if use_noise is None else use_noise
+        self.seed = seed
+        self._epoch = 0
+        self.objlist = (list(objlist) if objlist is not None
+                        else list(LINEMOD_OBJLIST))
+        self.items: list[tuple[int, int]] = []
+        for obj in self.objlist:
+            list_file = os.path.join(
+                root, "data", f"{obj:02d}",
+                "train.txt" if mode == "train" else "test.txt")
+            with open(list_file) as f:
+                self.items += [(obj, int(ln)) for ln in f if ln.strip()]
+
+    @property
+    def num_classes(self) -> int:
+        return max(self.objlist) + 1
+
+    def __len__(self):
+        return len(self.items)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __getitem__(self, index: int) -> SegSample:
+        rng = np.random.default_rng((self.seed, self._epoch, index))
+        obj, frame = self.items[index]
+        base = os.path.join(self.root, "data", f"{obj:02d}")
+        rgb = _load_image(
+            os.path.join(base, "rgb", f"{frame:04d}.png"))[..., :3]
+        mask = _load_image(os.path.join(base, "mask", f"{frame:04d}.png"))
+        mask = mask == 255
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        label = mask.astype(np.int32) * obj
+
+        if self.use_noise:
+            rgb = color_jitter(rgb, rng)
+            if rng.random() < 0.5:
+                rgb, label = rgb[:, ::-1], label[:, ::-1]
+            if rng.random() < 0.5:
+                rgb, label = rgb[::-1], label[::-1]
+
+        return SegSample(rgb=normalize_image(np.ascontiguousarray(rgb)),
+                         label=np.ascontiguousarray(label))
+
+
 class SegDataset:
     def __init__(self, root: str, mode: str = "train",
                  config_dir: str | None = None, seed: int = 0,

@@ -47,8 +47,11 @@ def build_dataset(cfg: RunConfig, mode: str, refine: bool):
         return YCBDataset(**common)
     mesh = cfg.refine_mesh_points if refine else cfg.num_mesh_points
     if cfg.dataset == "linemod":
-        return LineModDataset(num_mesh_points=mesh, **common)
+        return LineModDataset(num_mesh_points=mesh,
+                              objlist=list(cfg.objlist) or None, **common)
     if cfg.dataset == "cad":
+        if cfg.objlist:
+            common["objlist"] = list(cfg.objlist)
         return CADDataset(num_mesh_points=mesh, **common)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 

@@ -61,7 +61,15 @@ def make_seg_eval_step(segnet):
         logits = segnet.apply({"params": params, "batch_stats": batch_stats},
                               rgb, train=False)
         loss = segmentation_loss(logits, label)
-        acc = jnp.mean((jnp.argmax(logits, -1) == label).astype(jnp.float32))
-        return loss, acc
+        pred = jnp.argmax(logits, -1)
+        acc = jnp.mean((pred == label).astype(jnp.float32))
+        # foreground IoU: pixel accuracy is dominated by background on
+        # full frames, so also report |pred∩gt| / |pred∪gt| over the
+        # exact-class foreground (the metric that matters for the masks
+        # LineModDataset(mode='eval') consumes)
+        inter = jnp.sum(((pred == label) & (label > 0)).astype(jnp.float32))
+        union = jnp.sum(((pred > 0) | (label > 0)).astype(jnp.float32))
+        fg_iou = inter / jnp.maximum(union, 1.0)
+        return loss, acc, fg_iou
 
     return step

@@ -25,6 +25,9 @@ class RunConfig:
     refine_mesh_points: int = 500
     crop_size: int = 192
     sym_list: tuple[int, ...] = ()
+    # subset of dataset object ids (empty = the dataset's full list);
+    # linemod/cad only. num_objects must equal len(objlist) when set.
+    objlist: tuple[int, ...] = ()
     # optimization (tools/train.py:34-44 defaults)
     batch_size: int = 8               # true batch (reference: 1 + accumulate 32)
     grad_accum: int = 1               # optional accumulation on top
@@ -57,6 +60,7 @@ class RunConfig:
     def from_json(cls, text: str) -> "RunConfig":
         d = json.loads(text)
         d["sym_list"] = tuple(d.get("sym_list", ()))
+        d["objlist"] = tuple(d.get("objlist", ()))
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 

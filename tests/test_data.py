@@ -84,6 +84,30 @@ def test_linemod_test_and_eval_modes(lm_root):
     assert d.mean() < 0.005
 
 
+def test_linemod_seg_dataset(lm_root):
+    from densefusion_tpu.data import LinemodSegDataset
+    ds = LinemodSegDataset(lm_root, mode="train", objlist=[1])
+    assert len(ds) == 4
+    assert ds.num_classes == 2
+    s = ds[0]
+    assert s.rgb.shape == (480, 640, 3) and s.rgb.dtype == np.float32
+    assert s.label.shape == (480, 640) and s.label.dtype == np.int32
+    assert set(np.unique(s.label)) <= {0, 1}
+    assert (s.label == 1).sum() > 50  # object visible
+    # clean test mode must match the pose reader's mask exactly
+    ds_t = LinemodSegDataset(lm_root, mode="test", objlist=[1])
+    s_t = ds_t[0]
+    from PIL import Image
+    obj, frame = ds_t.items[0]
+    mask = np.array(Image.open(os.path.join(
+        lm_root, "data", f"{obj:02d}", "mask", f"{frame:04d}.png")))
+    mask = mask[..., 0] if mask.ndim == 3 else mask
+    np.testing.assert_array_equal(s_t.label == 1, mask == 255)
+    # determinism: same (seed, epoch, index) -> same augmented sample
+    ds2 = LinemodSegDataset(lm_root, mode="train", objlist=[1])
+    np.testing.assert_array_equal(ds[1].rgb, ds2[1].rgb)
+
+
 def test_linemod_diameters(lm_root):
     ds = LineModDataset(lm_root, mode="test", objlist=[1])
     diam = ds.diameters()

@@ -46,6 +46,36 @@ def test_seg_batch_stats_update(seg_setup):
 def test_seg_eval_step(seg_setup):
     segnet, state, tx, rgb, label = seg_setup
     eval_step = make_seg_eval_step(segnet)
-    loss, acc = eval_step(state.params, state.batch_stats, rgb, label)
+    loss, acc, fg_iou = eval_step(state.params, state.batch_stats, rgb, label)
     assert np.isfinite(float(loss))
     assert 0.0 <= float(acc) <= 1.0
+    assert 0.0 <= float(fg_iou) <= 1.0
+
+
+def test_seg_eval_fg_iou_semantics():
+    """fg_iou = |pred∩gt|/|pred∪gt| over exact-class foreground, computed on
+    a hand-built logits/label pair via a stub module."""
+    import flax.linen as nn
+
+    class Stub(nn.Module):
+        logits: np.ndarray
+
+        @nn.compact
+        def __call__(self, x, train=False):
+            self.param("dummy", nn.initializers.zeros, (1,))
+            return jnp.asarray(self.logits)
+
+    # 1x2x2 frame, 3 classes: pred = [[1, 0], [2, 2]], gt = [[1, 0], [2, 1]]
+    logits = np.zeros((1, 2, 2, 3), np.float32)
+    for (y, x), c in {(0, 0): 1, (0, 1): 0, (1, 0): 2, (1, 1): 2}.items():
+        logits[0, y, x, c] = 1.0
+    label = jnp.asarray([[[1, 0], [2, 1]]], jnp.int32)
+    stub = Stub(logits)
+    variables = stub.init(jax.random.key(0), jnp.zeros((1, 2, 2, 3)))
+    step = make_seg_eval_step(stub)
+    _, acc, fg_iou = step(variables["params"], {}, jnp.zeros((1, 2, 2, 3)),
+                          label)
+    # matches: 3/4 pixels; fg intersection {(0,0),(1,0)}=2, union (pred>0 |
+    # gt>0) = 3 pixels
+    assert float(acc) == 0.75
+    assert float(fg_iou) == pytest.approx(2.0 / 3.0)

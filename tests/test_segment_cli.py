@@ -44,3 +44,17 @@ def test_segment_cli_writes_masks(tmp_path):
     lab = np.array(Image.open(outs[0]))
     assert lab.shape == (64, 96)
     assert set(np.unique(lab)) <= {0, 255}
+
+    # --list filters to the named frame ids (plain and %04d forms)
+    list_file = tmp_path / "test.txt"
+    list_file.write_text("1\n0002\n")
+    out2 = tmp_path / "labels2"
+    segment_cli.main([
+        "--checkpoint", str(ckpt),
+        "--images", str(img_dir / "*.png"),
+        "--list", str(list_file),
+        "--out_dir", str(out2),
+        "--num_classes", "4", "--binary_class", "1", "--batch_size", "2",
+    ])
+    names = sorted(os.path.basename(p) for p in glob.glob(str(out2 / "*")))
+    assert names == ["0001_label.png", "0002_label.png"]
