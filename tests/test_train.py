@@ -45,6 +45,22 @@ def trainer(tiny_cfg):
     return tr
 
 
+def test_build_dataset_objlist_subset(tiny_cfg):
+    """cfg.objlist restricts the default dataset factory to a subset with
+    per-subset symmetric positions (train CLI --objlist path)."""
+    import dataclasses
+    from densefusion_tpu.train.loop import build_dataset
+
+    cfg = dataclasses.replace(tiny_cfg, objlist=(1,), num_objects=1)
+    ds = build_dataset(cfg, "train", refine=False)
+    assert ds.objlist == [1]
+    assert ds.sym_list == []  # no eggbox/glue in the subset
+    assert len(ds) == 4
+    # config JSON round-trips the tuple
+    back = RunConfig.from_json(cfg.to_json())
+    assert back.objlist == (1,)
+
+
 def test_pose_phase_epoch_runs(trainer):
     avg = trainer.train_epoch()
     assert np.isfinite(avg) and avg > 0
