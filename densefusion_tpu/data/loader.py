@@ -14,9 +14,11 @@ checkpointed batch cursor this makes mid-epoch restart exact (SURVEY.md §5.3).
 
 from __future__ import annotations
 
+import os
 import queue
 import sys
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator
 
@@ -167,6 +169,16 @@ class BatchLoader:
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"unknown worker_mode {worker_mode!r}")
         if worker_mode == "process" and not sys.platform.startswith("linux"):
+            worker_mode = "thread"
+        if worker_mode == "process" and os.environ.get("PALLAS_AXON_POOL_IPS"):
+            # the axon remote-TPU client registers per-process gRPC/tokio
+            # threads at interpreter start; forking with that client live
+            # wedges the device session (observed: train stalls forever in
+            # session acquire). Thread workers are safe and still clear the
+            # device step rate on tunnel hosts.
+            warnings.warn("axon remote-TPU client active in this process: "
+                          "falling back to worker_mode='thread' (fork "
+                          "workers would wedge the device session)")
             worker_mode = "thread"
         self.worker_mode = worker_mode
         self._pool: _ProcessPool | None = None

@@ -131,3 +131,12 @@ def test_non_linux_falls_back_to_thread(ycb_ds, monkeypatch):
     monkeypatch.setattr(loader_mod.sys, "platform", "darwin")
     ld = BatchLoader(ycb_ds, 4, num_workers=2, worker_mode="process")
     assert ld.worker_mode == "thread"
+
+
+def test_axon_client_falls_back_to_thread(ycb_ds, monkeypatch):
+    """Fork workers must not coexist with the in-process axon remote-TPU
+    client (live gRPC threads at fork wedge the device session)."""
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    with pytest.warns(UserWarning, match="axon"):
+        ld = BatchLoader(ycb_ds, 4, num_workers=2, worker_mode="process")
+    assert ld.worker_mode == "thread"
