@@ -10,9 +10,10 @@ Re-design of ``lib/loss.py:13-82`` and ``lib/loss_refiner.py:12-74``:
   nearest target point before the distance (ADD-S) — the CORRECTED semantics
   of the reference's broken ``nn_distance`` call (SURVEY.md §2.1): nearest
   target per predicted point, exactly as its CUDA-KNN eval path
-  (``tools/eval_linemod.py:123-128``). Implemented with the Pallas/XLA 1-NN
-  of :mod:`densefusion_tpu.ops.knn`; the symmetric/asymmetric choice is a
-  per-sample ``where`` so one compiled program covers mixed batches.
+  (``tools/eval_linemod.py:123-128``). Both branches run through the fused
+  :func:`densefusion_tpu.ops.add_dist.hypothesis_mean_dist` (per-sample
+  sym gating in-kernel, so one compiled program covers mixed batches, and
+  the (B, N, M, 3) transformed-cloud tensor never exists in HBM).
 * Confidence self-calibration: ``loss = mean(dis·c − w·log c)``
   (``lib/loss.py:50``).
 * The best (argmax-confidence) hypothesis canonicalizes the observed cloud and
@@ -30,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from densefusion_tpu.geometry import quat_normalize, quat_to_matrix
-from densefusion_tpu.ops.knn import adds_min_sqdist_minus_qsq
+from densefusion_tpu.ops.add_dist import hypothesis_mean_dist
 
 
 class PoseLossOutput(NamedTuple):
@@ -47,41 +48,6 @@ class RefinerLossOutput(NamedTuple):
     dis: jax.Array           # (B,) per-sample distance
     new_points: jax.Array    # (B, N, 3) further-canonicalized cloud (stopgrad)
     new_target: jax.Array    # (B, M, 3) further-canonicalized target (stopgrad)
-
-
-def _hypothesis_distances(pred: jax.Array, target: jax.Array,
-                          sym: jax.Array, use_adds: bool,
-                          knn_backend: str) -> jax.Array:
-    """pred (B, N, M, 3) hypothesis-transformed model points, target (B, M, 3),
-    sym (B,) bool -> (B, N) mean point distances (ADD, or ADD-S where sym).
-
-    The ADD (paired) branch keeps the exact difference form (a factored
-    ``‖p‖² − 2 p·t + ‖t‖²`` would put an f32 cancellation floor of ~6e-5 m
-    under perfect poses). The symmetric branch takes its min squared
-    distance straight out of the remap kernel
-    (:func:`adds_min_sqdist_minus_qsq`, exact custom gradient) — the
-    remapped-target tensor and its select/diff passes are never
-    materialized; that removed most of the loss's elementwise (B, N, M, 3)
-    traffic at batch 32 (docs/PERF.md round 2c).
-
-    The factored symmetric d² cancels catastrophically once poses approach
-    exact (computed value can reach or cross 0 while the true distance is
-    ~1e-4 m), and ``sqrt`` has a NaN gradient at exactly 0 — so the sqrt is
-    floored at 1e-12 (a 1 µm distance floor, zero gradient below it). Without
-    the floor, training on near-converged symmetric samples NaNs."""
-    b, n, m, _ = pred.shape
-    diff = pred - target[:, None]
-    d2 = jnp.sum(diff * diff, axis=-1)                         # (B, N, M)
-    if use_adds:
-        # active=sym: the in-kernel search runs only for symmetric samples
-        # (the reference's per-sample branch, lib/loss.py:40) — skipped rows
-        # emit zeros that the where below never selects
-        dm = adds_min_sqdist_minus_qsq(
-            pred.reshape(b, n * m, 3), target, sym, knn_backend,
-        ).reshape(b, n, m)
-        pred2 = jnp.sum(pred * pred, axis=-1)
-        d2 = jnp.where(sym[:, None, None], pred2 + dm, d2)
-    return jnp.sqrt(jnp.maximum(d2, 1e-12)).mean(axis=-1)
 
 
 def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
@@ -116,10 +82,12 @@ def pose_loss(pred_r: jax.Array, pred_t: jax.Array, pred_c: jax.Array,
     q = quat_normalize(pred_r)
     R = quat_to_matrix(q)                                     # (B, N, 3, 3)
     t = points + pred_t                                       # (B, N, 3) absolute
-    # pred[b,n,m] = R[b,n] @ model_points[b,m] + t[b,n]
-    pred = jnp.einsum("bmj,bnij->bnmi", model_points, R) + t[:, :, None, :]
-
-    dis = _hypothesis_distances(pred, target, sym, use_adds, knn_backend)
+    # mean_m ‖R_n model_m + t_n − tgt(m)‖ per hypothesis, fully fused —
+    # the (B, N, M, 3) transformed cloud never exists in HBM and the ADD-S
+    # remap runs in-kernel only for symmetric rows (lib/loss.py:33-48
+    # semantics; see densefusion_tpu.ops.add_dist)
+    dis = hypothesis_mean_dist(R, t, model_points, target, sym,
+                               use_adds=use_adds, backend=knn_backend)
     if pred_c_logit is not None:
         log_c = jax.nn.log_sigmoid(pred_c_logit)
     else:
@@ -166,10 +134,9 @@ def refiner_loss(pred_r: jax.Array, pred_t: jax.Array, target: jax.Array,
     """
     q = quat_normalize(pred_r)
     R = quat_to_matrix(q)                                     # (B, 3, 3)
-    pred = model_points @ jnp.swapaxes(R, -1, -2) + pred_t[:, None, :]
-
-    dis = _hypothesis_distances(pred[:, None], target, sym, use_adds,
-                                knn_backend)[:, 0]            # (B,)
+    dis = hypothesis_mean_dist(R[:, None], pred_t[:, None], model_points,
+                               target, sym, use_adds=use_adds,
+                               backend=knn_backend)[:, 0]     # (B,)
     if sample_weight is None:
         loss = jnp.mean(dis)
     else:

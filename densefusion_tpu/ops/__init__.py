@@ -14,8 +14,13 @@ from densefusion_tpu.ops.knn import (
     nearest_neighbor_xla,
     nearest_neighbor_pallas,
 )
+from densefusion_tpu.ops.add_dist import (
+    hypothesis_mean_dist,
+    hypothesis_mean_dist_xla,
+)
 
 __all__ = [
     "nearest_neighbor", "knn", "adds_remap_targets",
     "nearest_neighbor_xla", "nearest_neighbor_pallas",
+    "hypothesis_mean_dist", "hypothesis_mean_dist_xla",
 ]

@@ -197,6 +197,62 @@ def test_segmentation_loss_weighted_ignores(rng):
                                rtol=1e-5)
 
 
+def test_pose_loss_pallas_backend_matches_xla(rng):
+    """The fused Pallas distance path (interpreter mode) must agree with the
+    XLA path through the whole loss — values and parameter gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+    p = _make_problem(rng, b=3, n=8, m=12, noise=0.05)
+    b, n = p["points"].shape[:2]
+    conf = jnp.asarray(rng.uniform(0.3, 0.9, (b, n)), jnp.float32)
+    sym = jnp.asarray([True, False, True])
+
+    def f(r, t, backend):
+        out = pose_loss(r, t, conf, p["target"], p["model"], p["points"],
+                        sym=sym, w=0.015, knn_backend=backend)
+        return out.loss, out.dis
+
+    loss_x, dis_x = f(p["pred_r"], p["pred_t"], "xla")
+    gr_x, gt_x = jax.grad(lambda r, t: f(r, t, "xla")[0], argnums=(0, 1))(
+        p["pred_r"], p["pred_t"])
+    with pltpu.force_tpu_interpret_mode():
+        loss_p, dis_p = f(p["pred_r"], p["pred_t"], "pallas")
+        gr_p, gt_p = jax.grad(
+            lambda r, t: f(r, t, "pallas")[0], argnums=(0, 1))(
+            p["pred_r"], p["pred_t"])
+    np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_x),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dis_p), np.asarray(dis_x),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gr_p), np.asarray(gr_x),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_p), np.asarray(gt_x),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_refiner_loss_pallas_backend_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    p = _make_problem(rng, b=2, n=6, m=10, noise=0.05)
+    b = p["model"].shape[0]
+    sym = jnp.asarray([True, False])
+    pred_r = p["pred_r"][:, 0]
+    pred_t = jnp.asarray(rng.uniform(-0.2, 0.2, (b, 3)), jnp.float32)
+
+    def f(r, t, backend):
+        return refiner_loss(r, t, p["target"], p["model"], p["points"],
+                            sym=sym, knn_backend=backend).loss
+
+    loss_x = f(pred_r, pred_t, "xla")
+    g_x = jax.grad(f, argnums=(0, 1))(pred_r, pred_t, "xla")
+    with pltpu.force_tpu_interpret_mode():
+        loss_p = f(pred_r, pred_t, "pallas")
+        g_p = jax.grad(f, argnums=(0, 1))(pred_r, pred_t, "pallas")
+    np.testing.assert_allclose(np.asarray(loss_p), np.asarray(loss_x),
+                               rtol=1e-5)
+    for a, b_ in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_loss_dis_matches_eval_metric(rng):
     """The training loss's best-hypothesis distance must equal the eval
     metric's pose_distances for that pose — loss and metric share semantics
