@@ -1,0 +1,52 @@
+"""Export a framework checkpoint to reference torch ``.pth`` state_dicts.
+
+The inverse of ``cli.import_torch``: converts one of our train-state
+checkpoint directories into files loadable by the reference's
+``PoseNet``/``PoseRefineNet`` via ``load_state_dict(torch.load(...),
+strict=False)`` (``tools/train.py:83-97`` resume path; ``strict=False``
+only because the reference carries a dead aux classifier we don't emit,
+``lib/pspnet.py:58-62``). Model shapes come from the checkpoint's own
+``config.json``.
+
+Example::
+
+    python -m densefusion_tpu.cli.export_torch \
+        --checkpoint trained_models/ycb/checkpoint_best_refine \
+        --pose_out pose_model.pth --refine_out pose_refine_model.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", required=True,
+                   help="framework checkpoint directory")
+    p.add_argument("--pose_out", required=True, help="output PoseNet .pth")
+    p.add_argument("--refine_out", default=None,
+                   help="output PoseRefineNet .pth (optional)")
+    p.add_argument("--variant", default="resnet18")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import os
+
+    from densefusion_tpu.compat import export_torch_checkpoint
+
+    if not os.path.isdir(args.checkpoint):
+        raise SystemExit(
+            f"error: checkpoint directory not found: {args.checkpoint!r}")
+    cfg = export_torch_checkpoint(args.checkpoint, args.pose_out,
+                                  refine_out=args.refine_out,
+                                  variant=args.variant)
+    print(f"exported -> {args.pose_out}"
+          + (f" + {args.refine_out}" if args.refine_out else "")
+          + f" (dataset={cfg['dataset']}, num_obj={cfg['num_objects']})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,14 @@
-"""Torch ``.pth`` checkpoint importer.
+"""Torch ``.pth`` checkpoint importer and exporter.
 
 The reference ships trained models as ``torch.save(model.state_dict())``
 files (``tools/train.py:172-217``, ``download.sh`` →
 ``trained_models/{ycb,linemod}/*.pth``). This module converts those state
 dicts into this framework's flax parameter pytrees so reference-trained
 weights run directly on TPU — the only route to numerical parity evidence
-without the real datasets (VERDICT round-1 item 2).
+without the real datasets (VERDICT round-1 item 2) — and converts back
+(flax → reference-shaped state_dict) so TPU-trained weights load into the
+reference's ``PoseNet``/``PoseRefineNet`` via plain
+``model.load_state_dict(torch.load(...))``.
 
 Weight-layout transforms (names per ``lib/network.py:70-206``):
 
@@ -54,6 +57,32 @@ def _bias(w: np.ndarray) -> np.ndarray:
 
 def _prelu(w: np.ndarray) -> np.ndarray:
     return np.asarray(w, np.float32).reshape(())
+
+
+# Exact inverses of the layout transforms (export direction)
+
+def _conv2d_inv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (3, 2, 0, 1)).astype(np.float32)   # HWIO -> OIHW
+
+
+def _conv1d_inv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0)).astype(np.float32)[:, :, None]
+
+
+def _linear_inv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0)).astype(np.float32)
+
+
+def _bias_inv(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w, np.float32)
+
+
+def _prelu_inv(w: np.ndarray) -> np.ndarray:
+    return np.asarray(w, np.float32).reshape((1,))
+
+
+_INVERSES = {_conv2d: _conv2d_inv, _conv1d: _conv1d_inv,
+             _linear: _linear_inv, _bias: _bias_inv, _prelu: _prelu_inv}
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -292,3 +321,84 @@ def import_torch_checkpoint(pose_pth: str, out_path: str, num_obj: int,
         cur.refine_started = True
         cur.decay_started = True
     save_checkpoint(out_path, state, cur, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Export: flax params -> reference-shaped torch state_dict
+# ---------------------------------------------------------------------------
+
+def _export(params: dict, mapping: dict) -> dict[str, np.ndarray]:
+    """Invert ``_fill``: every flax leaf becomes its mapped torch tensor."""
+    import jax
+
+    out: dict[str, np.ndarray] = {}
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(
+            params["params"])[0]:
+        path = tuple(k.key for k in keypath)
+        if path not in mapping:
+            raise KeyError(f"no torch mapping for flax param {'/'.join(path)}")
+        torch_key, transform = mapping[path]
+        out[torch_key] = _INVERSES[transform](np.asarray(leaf))
+    return out
+
+
+def posenet_state_dict_from_params(params: dict,
+                                   variant: str = "resnet18",
+                                   prefix: str = "cnn.model.module.") -> dict:
+    """Convert :class:`densefusion_tpu.models.PoseNet` params into a
+    reference ``PoseNet.state_dict()``-shaped dict (``lib/network.py:70-132``
+    names; default prefix matches the DataParallel-wrapped CNN the reference
+    saves, ``lib/network.py:27-37``). The reference's dead aux classifier
+    (``lib/pspnet.py:58-62``) is not emitted — load with ``strict=False`` or
+    re-import here (the importer ignores it anyway)."""
+    mapping = {**_pspnet_map(prefix, variant), **_fusion_map("feat."),
+               **_posenet_head_map()}
+    return _export(params, mapping)
+
+
+def refiner_state_dict_from_params(params: dict) -> dict:
+    """Convert :class:`densefusion_tpu.models.PoseRefineNet` params into a
+    reference ``PoseRefineNet.state_dict()``-shaped dict
+    (``lib/network.py:170-206`` names)."""
+    mapping = {**_fusion_map("feat."), **_refiner_head_map()}
+    return _export(params, mapping)
+
+
+def export_torch_checkpoint(ckpt_path: str, pose_out: str,
+                            refine_out: str | None = None,
+                            variant: str = "resnet18") -> dict:
+    """Convert one of our train-state checkpoint directories into reference
+    ``.pth`` file(s) (``torch.save``-compatible state_dicts). Model shapes
+    are reconstructed from the checkpoint's own ``config.json``. Returns the
+    config dict used."""
+    import json as json_
+
+    import torch
+    import jax
+    from densefusion_tpu.data import collate
+    from densefusion_tpu.data.schema import PoseSample
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.train import create_train_state, load_checkpoint
+    from densefusion_tpu.utils.config import RunConfig
+
+    with open(f"{ckpt_path}/config.json") as f:
+        cfg_dict = json_.load(f)
+    cfg = RunConfig(**cfg_dict)
+    posenet = PoseNet(num_obj=cfg.num_objects, cnn_variant=variant)
+    refiner = PoseRefineNet(num_obj=cfg.num_objects)
+    batch = collate([PoseSample.invalid(cfg.num_points, cfg.num_mesh_points,
+                                        cfg.crop_size)])
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch)
+    state, _, _ = load_checkpoint(ckpt_path, state, restore_opt=False)
+
+    def to_torch(sd):
+        # copy: exported leaves may alias non-writable device buffers
+        return {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+
+    torch.save(to_torch(posenet_state_dict_from_params(
+        jax.device_get(state.params_pose), variant)), pose_out)
+    if refine_out is not None:
+        torch.save(to_torch(refiner_state_dict_from_params(
+            jax.device_get(state.params_refine))), refine_out)
+    return cfg_dict

@@ -282,3 +282,93 @@ def test_import_checkpoint_end_to_end(tmp_path, rng):
 def load_pth_bias(path):
     sd = torch.load(path, map_location="cpu")
     return sd["feat.conv1.bias"].numpy()
+
+
+# ---------------------------------------------------------------------------
+# Export (flax -> torch) round trips
+# ---------------------------------------------------------------------------
+
+def test_refiner_export_roundtrip(rng):
+    """export(import(sd)) == sd for the refiner (bit-exact both ways)."""
+    from densefusion_tpu.compat import refiner_state_dict_from_params
+
+    sd = {k: v.numpy() for k, v in make_refiner_state_dict(rng).items()}
+    params = refiner_params_from_torch(sd, num_obj=NUM_OBJ)
+    back = refiner_state_dict_from_params(params)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    # and import(export(params)) == params
+    again = refiner_params_from_torch(back, num_obj=NUM_OBJ)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(again)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_posenet_export_roundtrip(rng):
+    """PoseNet export reproduces every torch tensor except the dead aux
+    classifier (which the importer ignores and the exporter doesn't emit)."""
+    from densefusion_tpu.compat import posenet_state_dict_from_params
+
+    sd = {k: v.numpy() for k, v in make_posenet_state_dict(rng).items()}
+    params = posenet_params_from_torch(sd, num_obj=NUM_OBJ)
+    back = posenet_state_dict_from_params(params)
+    classifier = {k for k in sd if ".classifier." in k}
+    assert set(back) == set(sd) - classifier
+    for k in back:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+@pytest.mark.slow
+def test_export_checkpoint_cli(tmp_path, rng):
+    """Framework checkpoint -> cli.export_torch -> .pth files that re-import
+    to the identical parameters (full circle through both CLIs' cores)."""
+    import jax.numpy as jnp
+    from densefusion_tpu.cli.export_torch import main as export_main
+    from densefusion_tpu.compat import export_torch_checkpoint  # noqa: F401
+    from densefusion_tpu.data import collate
+    from densefusion_tpu.data.schema import PoseSample
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.train import create_train_state, save_checkpoint
+    from densefusion_tpu.train.state import Curriculum
+    from densefusion_tpu.utils.config import RunConfig
+
+    cfg = RunConfig.preset("ycb", num_points=32, crop_size=64,
+                           num_objects=NUM_OBJ)
+    posenet = PoseNet(num_obj=NUM_OBJ)
+    refiner = PoseRefineNet(num_obj=NUM_OBJ)
+    batch = collate([PoseSample.invalid(32, cfg.num_mesh_points, 64)])
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(7),
+                               batch)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, Curriculum(), cfg)
+
+    pose_pth = str(tmp_path / "pose.pth")
+    refine_pth = str(tmp_path / "refine.pth")
+    export_main(["--checkpoint", ckpt, "--pose_out", pose_pth,
+                 "--refine_out", refine_pth])
+
+    sd = {k: v.numpy() for k, v in
+          torch.load(pose_pth, map_location="cpu").items()}
+    re_pose = posenet_params_from_torch(sd, num_obj=NUM_OBJ)
+    want = jax.device_get(state.params_pose)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(want)[0],
+            jax.tree_util.tree_flatten_with_path(re_pose)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+    sd_r = {k: v.numpy() for k, v in
+            torch.load(refine_pth, map_location="cpu").items()}
+    re_ref = refiner_params_from_torch(sd_r, num_obj=NUM_OBJ)
+    want_r = jax.device_get(state.params_refine)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(want_r)[0],
+            jax.tree_util.tree_flatten_with_path(re_ref)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert jnp.asarray(0).ndim == 0  # keep jnp import referenced
