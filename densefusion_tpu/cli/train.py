@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard batches over all available devices")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU compute (f32 params/outputs)")
+    p.add_argument("--remat_cnn", action="store_true",
+                   help="rematerialize the CNN in backward (lower peak "
+                        "memory at large batch, ~one extra CNN forward)")
     return p
 
 
@@ -89,6 +92,7 @@ def main(argv=None):
         noise_trans=args.noise_trans, refine_iters=args.iteration,
         nepoch=args.nepoch, crop_size=args.crop_size, seed=args.seed,
         bf16_compute=args.bf16,
+        remat_cnn=args.remat_cnn,
         out_dir=f"{args.out_dir}/{args.dataset}",
         log_dir=f"{args.log_dir}/{args.dataset}",
     )

@@ -230,17 +230,28 @@ class PoseNet(nn.Module):
     sparse_emb: bool = True      # sparse-decode the CNN at the N choose
     # pixels instead of the full crop (identical math; docs/PERF.md)
     fused_decoder: bool = True   # phase-conv upsample stages (docs/PERF.md)
+    # rematerialize the CNN in backward: trades ~one extra CNN forward for
+    # not keeping its trunk/decoder activations live through the fusion/
+    # loss — the dominant activation term at large batch (crop² · channels).
+    # Identical math and parameter tree; only the autodiff schedule changes.
+    remat_cnn: bool = False
 
     @nn.compact
     def __call__(self, img, points, choose, obj, train: bool = False):
         cnn = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
                      dtype=self.dtype, fused_decoder=self.fused_decoder,
                      name="cnn")
+        sample_at = choose.astype(jnp.int32) if self.sparse_emb else None
+
+        def run_cnn(mdl, img_, sample_at_):
+            return mdl(img_, train=train, sample_at=sample_at_)
+
+        if self.remat_cnn:
+            run_cnn = nn.remat(run_cnn)
         if self.sparse_emb:
-            emb = cnn(img, train=train,
-                      sample_at=choose.astype(jnp.int32))     # (B, N, d)
+            emb = run_cnn(cnn, img, sample_at)                # (B, N, d)
         else:
-            emb_map = cnn(img, train=train)
+            emb_map = run_cnn(cnn, img, None)
             b, h, w, d = emb_map.shape
             flat = emb_map.reshape(b, h * w, d)
             emb = jnp.take_along_axis(

@@ -15,11 +15,13 @@ from densefusion_tpu.parallel.sharding import (
     batch_sharding, replicate, make_shard_batch_fn,
 )
 from densefusion_tpu.parallel.collectives import (
-    ring_nearest_neighbor, sharded_nearest_neighbor, psum_mean,
+    ring_nearest_neighbor, sharded_nearest_neighbor,
+    sharded_hypothesis_mean_dist, psum_mean,
 )
 
 __all__ = [
     "make_mesh", "initialize_distributed", "local_batch_slice",
     "batch_sharding", "replicate", "make_shard_batch_fn",
-    "ring_nearest_neighbor", "sharded_nearest_neighbor", "psum_mean",
+    "ring_nearest_neighbor", "sharded_nearest_neighbor",
+    "sharded_hypothesis_mean_dist", "psum_mean",
 ]

@@ -130,6 +130,50 @@ def ring_nearest_neighbor(query: jax.Array, ref: jax.Array, mesh: Mesh,
     return d[:num_q], i[:num_q]
 
 
+def sharded_hypothesis_mean_dist(R: jax.Array, t: jax.Array,
+                                 model: jax.Array, target: jax.Array,
+                                 sym: jax.Array, mesh: Mesh,
+                                 axis: str = "data", *,
+                                 use_adds: bool = True,
+                                 backend: str = "auto") -> jax.Array:
+    """Fused ADD(-S) hypothesis distance with the HYPOTHESIS axis sharded.
+
+    The dense loss's per-hypothesis work (N per-point pose hypotheses × M
+    model points, the ADD-S min-search inside) is embarrassingly parallel
+    over N — SURVEY.md §5.7's "shard the hypothesis axis" lever for when
+    bs·N·M outgrows one chip (large clouds / dense CAD scans). Each device
+    runs :func:`densefusion_tpu.ops.add_dist.hypothesis_mean_dist` on its
+    slice of hypotheses against the replicated model/target; no collective
+    is needed for the output (``dis`` is per-hypothesis), and the op's
+    custom VJP differentiates through the shard_map unchanged.
+
+    R (B, N, 3, 3), t (B, N, 3) hypothesis poses; model/target (B, M, 3)
+    and sym (B,) replicated. Any N (zero-padded to the mesh size). Returns
+    dis (B, N), sharded over N on ``axis``.
+    """
+    from densefusion_tpu.ops.add_dist import hypothesis_mean_dist
+
+    n = R.shape[1]
+    n_shards = mesh.shape[axis]
+    pad = (-n) % n_shards
+    if pad:
+        R = jnp.concatenate(
+            [R, jnp.zeros((R.shape[0], pad, 3, 3), R.dtype)], axis=1)
+        t = jnp.concatenate(
+            [t, jnp.zeros((t.shape[0], pad, 3), t.dtype)], axis=1)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(), P(), P()),
+        out_specs=P(None, axis),
+    )
+    def inner(R_l, t_l, model_, target_, sym_):
+        return hypothesis_mean_dist(R_l, t_l, model_, target_, sym_,
+                                    use_adds=use_adds, backend=backend)
+
+    return inner(R, t, model, target, sym)[:, :n]
+
+
 def psum_mean(x: jax.Array, axis: str = "data") -> jax.Array:
     """Mean over a mesh axis, for metric reductions inside shard_map."""
     return jax.lax.pmean(x, axis)

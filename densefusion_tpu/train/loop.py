@@ -65,7 +65,8 @@ class Trainer:
         import jax.numpy as jnp
         dtype = jnp.bfloat16 if cfg.bf16_compute else None
         self.posenet = posenet or PoseNet(num_obj=cfg.num_objects,
-                                          dtype=dtype)
+                                          dtype=dtype,
+                                          remat_cnn=cfg.remat_cnn)
         self.refiner = refiner or PoseRefineNet(num_obj=cfg.num_objects,
                                                 dtype=dtype)
         self.dataset_factory = dataset_factory

@@ -52,6 +52,9 @@ class RunConfig:
     worker_mode: str = "process"
     knn_backend: str = "auto"
     bf16_compute: bool = False
+    # rematerialize the CNN in backward (jax.checkpoint): cuts peak
+    # activation memory at large batch for ~one extra CNN forward
+    remat_cnn: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -215,3 +215,34 @@ def test_merged_heads_equal_separate_stacks(rng):
             {"params": params["params"][name]}, feat)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_posenet_remat_cnn_identical(posenet_setup):
+    """remat_cnn=True must be a pure autodiff-schedule change: same parameter
+    tree, same outputs, same gradients (jax.checkpoint semantics)."""
+    model, params, (img, pts, choose, obj) = posenet_setup
+    rm = PoseNet(num_obj=5, remat_cnn=True)
+    # identical parameter tree -> checkpoints interchangeable
+    rm_params = rm.init(jax.random.key(1), img, pts, choose, obj)
+    assert (jax.tree_util.tree_structure(rm_params)
+            == jax.tree_util.tree_structure(params))
+
+    out_a = model.apply(params, img, pts, choose, obj)
+    out_b = rm.apply(params, img, pts, choose, obj)
+    np.testing.assert_allclose(np.asarray(out_b["pred_r"]),
+                               np.asarray(out_a["pred_r"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_b["pred_c"]),
+                               np.asarray(out_a["pred_c"]), atol=1e-6)
+
+    def loss(mdl):
+        def f(p):
+            o = mdl.apply(p, img, pts, choose, obj)
+            return (jnp.sum(o["pred_r"] ** 2) + jnp.sum(o["pred_t"] ** 2)
+                    + jnp.sum(o["pred_c"]))
+        return f
+
+    g_a = jax.jit(jax.grad(loss(model)))(params)
+    g_b = jax.jit(jax.grad(loss(rm)))(params)
+    for a, b in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

@@ -136,3 +136,44 @@ def test_ring_knn_tiny_ref_fewer_than_shards(rng):
     d, i = ring_nearest_neighbor(q, r, mesh, backend="xla")
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=1e-5)
+
+
+def test_sharded_hypothesis_mean_dist_matches_single(rng):
+    """Hypothesis-axis-sharded fused ADD(-S) distance (SURVEY.md §5.7) on the
+    8-device mesh: values AND (R, t) gradients match the unsharded op, with a
+    non-divisible N and a mixed-sym batch."""
+    from densefusion_tpu.geometry import quat_to_matrix, random_quaternion
+    from densefusion_tpu.ops.add_dist import hypothesis_mean_dist_xla
+    from densefusion_tpu.parallel import sharded_hypothesis_mean_dist
+
+    mesh = make_mesh()
+    b, n, m = 3, 13, 11                       # N=13 does not divide 8
+    R = quat_to_matrix(random_quaternion(jax.random.key(2), (b, n)))
+    t = jnp.asarray(rng.uniform(-0.3, 0.3, (b, n, 3)), jnp.float32)
+    model = jnp.asarray(rng.uniform(-0.05, 0.05, (b, m, 3)), jnp.float32)
+    target = model @ jnp.swapaxes(
+        quat_to_matrix(random_quaternion(jax.random.key(4), (b,))), -1, -2) \
+        + jnp.asarray(rng.uniform(-0.3, 0.3, (b, 1, 3)), jnp.float32)
+    sym = jnp.asarray([True, False, True])
+    wgt = jnp.asarray(rng.uniform(0.2, 1.0, (b, n)), jnp.float32)
+
+    def loss_ref(R_, t_):
+        return jnp.sum(hypothesis_mean_dist_xla(R_, t_, model, target,
+                                                sym, True) * wgt)
+
+    def loss_sharded(R_, t_):
+        return jnp.sum(sharded_hypothesis_mean_dist(
+            R_, t_, model, target, sym, mesh, backend="xla") * wgt)
+
+    want = hypothesis_mean_dist_xla(R, t, model, target, sym, True)
+    got = sharded_hypothesis_mean_dist(R, t, model, target, sym, mesh,
+                                       backend="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+
+    gR_ref, gt_ref = jax.grad(loss_ref, argnums=(0, 1))(R, t)
+    gR, gt_ = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(R, t)
+    np.testing.assert_allclose(np.asarray(gR), np.asarray(gR_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_), np.asarray(gt_ref),
+                               rtol=1e-4, atol=1e-6)
