@@ -327,9 +327,7 @@ def test_posenet_export_roundtrip(rng):
 def test_export_checkpoint_cli(tmp_path, rng):
     """Framework checkpoint -> cli.export_torch -> .pth files that re-import
     to the identical parameters (full circle through both CLIs' cores)."""
-    import jax.numpy as jnp
     from densefusion_tpu.cli.export_torch import main as export_main
-    from densefusion_tpu.compat import export_torch_checkpoint  # noqa: F401
     from densefusion_tpu.data import collate
     from densefusion_tpu.data.schema import PoseSample
     from densefusion_tpu.models import PoseNet, PoseRefineNet
@@ -371,4 +369,3 @@ def test_export_checkpoint_cli(tmp_path, rng):
             jax.tree_util.tree_flatten_with_path(re_ref)[0]):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert jnp.asarray(0).ndim == 0  # keep jnp import referenced
