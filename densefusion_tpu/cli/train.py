@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_cnn", action="store_true",
                    help="rematerialize the CNN in backward (lower peak "
                         "memory at large batch, ~one extra CNN forward)")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace (XProf/TensorBoard) "
+                        "of the whole run")
     return p
 
 
@@ -111,9 +114,11 @@ def main(argv=None):
         initialize_distributed()
         shard_batch = make_shard_batch_fn(make_mesh())
 
+    from densefusion_tpu.utils.profiling import trace_context
     trainer = Trainer(cfg, shard_batch=shard_batch)
     trainer.setup(resume=args.resume or None)
-    trainer.run()
+    with trace_context(args.trace_dir):
+        trainer.run()
 
 
 if __name__ == "__main__":
