@@ -180,6 +180,13 @@ class LineModDataset:
             rng=rng, add_t=add_t, rgb_transform=rgb_transform,
         )
 
+    def frame_info(self, index: int):
+        """(rgb_path, intrinsics) behind sample ``index`` — for qualitative
+        overlay rendering (``cli.visualize``)."""
+        obj, frame = self.items[index]
+        return (os.path.join(self.root, "data", f"{obj:02d}", "rgb",
+                             f"{frame:04d}.png"), LINEMOD_CAM)
+
     def diameters(self, models_info_path: str | None = None) -> np.ndarray:
         """Model diameters in meters (``models_info.yml``), for the
         <0.1·diameter success metric (``tools/eval_linemod.py:57-62``)."""

@@ -111,6 +111,12 @@ class YCBDataset:
         return (base + "-color.png", base + "-depth.png",
                 base + "-label.png", base + "-meta.mat")
 
+    def frame_info(self, index: int):
+        """(rgb_path, intrinsics) behind sample ``index`` — for qualitative
+        overlay rendering (``cli.visualize``)."""
+        frame = self.frames[index]
+        return self._frame_paths(frame)[0], self._intrinsics(frame)
+
     def _load_meta(self, path: str) -> tuple:
         """Cached (cls_indexes, poses, factor_depth) — the .mat parse was
         ~8% of the warm sample time and the result is static per frame."""

@@ -63,3 +63,24 @@ def test_train_cli_parser_defaults():
     args = build_parser().parse_args(["--dataset_root", "/x"])
     assert args.dataset == "linemod" and args.batch_size == 8
     assert isinstance(args.lr, float)  # reference had untyped string flags
+
+
+@pytest.mark.slow
+def test_visualize_cli(trained_ckpt):
+    """Overlay renderer: one batched dispatch, PNGs written, pred/gt dots
+    actually painted (green + blue pixels present)."""
+    from PIL import Image
+    from densefusion_tpu.cli import visualize as visualize_cli
+
+    root, ckpt, out = trained_ckpt
+    vis_dir = os.path.join(out, "vis")
+    visualize_cli.main([
+        "--dataset_root", root, "--checkpoint", ckpt,
+        "--num_points", "64", "--crop_size", "64", "--frames", "2",
+        "--iterations", "1", "--objlist", "1", "--output_dir", vis_dir,
+    ])
+    pngs = sorted(f for f in os.listdir(vis_dir) if f.endswith(".png"))
+    assert len(pngs) == 2
+    img = np.asarray(Image.open(os.path.join(vis_dir, pngs[0])))
+    assert (img == np.array([0, 220, 60])).all(-1).any(), "no pred dots"
+    assert (img == np.array([60, 90, 255])).all(-1).any(), "no gt dots"
