@@ -172,3 +172,22 @@ def test_dispatch_and_bf16_inputs(rng):
                                                 backend="pallas"))
     g = jax.grad(f)(R.astype(jnp.bfloat16))
     assert g.dtype == jnp.bfloat16
+
+
+def test_fused_multi_tile_m_gt_512(rng):
+    """M > 512 exercises the kernels' multi-tile loops (the YCB refine mesh
+    is 2600): the paired fori_loop over model tiles and the min kernel's
+    multi-ref_tile search + shrunken hypothesis group."""
+    b, n, m = 1, 8, 600
+    q = random_quaternion(jax.random.key(11), (b, n))
+    R = quat_to_matrix(q)
+    t = jnp.asarray(rng.uniform(-0.3, 0.3, (b, n, 3)), jnp.float32)
+    model = jnp.asarray(rng.uniform(-0.05, 0.05, (b, m, 3)), jnp.float32)
+    target = model @ jnp.swapaxes(quat_to_matrix(
+        random_quaternion(jax.random.key(3), (b,))), -1, -2) + 0.1
+    for sym in (jnp.zeros((b,), bool), jnp.ones((b,), bool)):
+        want = hypothesis_mean_dist_xla(R, t, model, target, sym, True)
+        with pltpu.force_tpu_interpret_mode():
+            got = _fused_mean_dist(R, t, model, target, sym, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-7)
