@@ -30,7 +30,12 @@ from densefusion_tpu.data.schema import PoseSample, collate
 class PoseEstimator:
     def __init__(self, posenet, refiner, params_pose, params_refine,
                  num_points: int = 500, crop_size: int = 192,
-                 refine_iters: int = 2, seed: int = 0):
+                 refine_iters: int = 2, seed: int = 0, mesh=None):
+        """``mesh`` (a ``jax.sharding.Mesh`` with a ``data`` axis) enables
+        multi-chip serving: params replicate once, every batch shards over
+        the axis (padded to the device count with invalid samples), and XLA
+        runs the one compiled program SPMD — the serving analog of the
+        training data parallelism."""
         from densefusion_tpu.eval import InferencePipeline
         self.posenet = posenet
         self.refiner = refiner
@@ -41,6 +46,17 @@ class PoseEstimator:
         self.pipeline = InferencePipeline(posenet, refiner,
                                           refine_iters=refine_iters)
         self.rng = np.random.default_rng(seed)
+        self.mesh = mesh
+        self._shard_batch = None
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from densefusion_tpu.parallel import make_shard_batch_fn
+            self._shard_batch = make_shard_batch_fn(mesh)
+            rep = NamedSharding(mesh, P())
+            self.params_pose = jax.device_put(self.params_pose, rep)
+            if self.params_refine is not None:
+                self.params_refine = jax.device_put(self.params_refine, rep)
 
     @classmethod
     def from_checkpoint(cls, path: str, num_obj: int,
@@ -103,12 +119,22 @@ class PoseEstimator:
     def estimate_batch(self, samples: Sequence[PoseSample]):
         """-> (quat (B, 4) wxyz, trans (B, 3) meters, conf (B,),
         valid (B,) bool)."""
-        batch = collate(list(samples))
+        samples = list(samples)
+        n = len(samples)
+        if self.mesh is not None:
+            n_dev = self.mesh.shape["data"]
+            m = samples[0].model_points.shape[0]
+            while len(samples) % n_dev:
+                samples.append(PoseSample.invalid(self.num_points, m,
+                                                  self.crop_size))
+        batch = collate(samples)
+        if self._shard_batch is not None:
+            batch = self._shard_batch(batch)
         quat, trans, conf = self.pipeline(
             self.params_pose, self.params_refine,
             batch.img, batch.points, batch.choose, batch.obj_idx)
-        return (np.asarray(quat), np.asarray(trans), np.asarray(conf),
-                np.asarray(batch.valid))
+        return (np.asarray(quat)[:n], np.asarray(trans)[:n],
+                np.asarray(conf)[:n], np.asarray(batch.valid)[:n])
 
     def estimate(self, rgb, depth, mask, obj_idx, intrinsics,
                  unit_scale: float = 1.0, bbox=None):

@@ -133,3 +133,26 @@ def test_from_checkpoint_refine_phase(tmp_path, estimator):
     assert out is not None
     q, t, c = out
     np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-4)
+
+
+def test_estimate_batch_mesh_sharded(estimator):
+    """mesh= shards serving batches over the 8-device CPU mesh; a
+    non-divisible batch is padded with invalid samples and results match
+    the single-device path."""
+    from densefusion_tpu.parallel import make_mesh
+
+    est, root = estimator
+    ds = LineModDataset(root, "test", num_points=64, crop_size=64,
+                        num_mesh_points=64, objlist=[1], add_noise=False)
+    samples = [ds[i] for i in range(min(5, len(ds)))]
+
+    est_mesh = PoseEstimator(est.posenet, est.refiner, est.params_pose,
+                             est.params_refine, num_points=64, crop_size=64,
+                             refine_iters=2, mesh=make_mesh())
+    q1, t1, c1, v1 = est.estimate_batch(samples)
+    q2, t2, c2, v2 = est_mesh.estimate_batch(samples)
+    assert q2.shape == (len(samples), 4)
+    np.testing.assert_allclose(q2, q1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(t2, t1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(c2, c1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(v2, v1)
