@@ -16,16 +16,42 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 1.0 / 0.06  # reference: ~0.06 s/frame pose+refine (BASELINE.md)
 
+# The TPU tunnel occasionally refuses sessions (UNAVAILABLE) for stretches;
+# a failed backend init poisons the in-process JAX state, so retry by
+# re-exec'ing a fresh interpreter a few times before giving up.
+_MAX_INIT_RETRIES = 4
+_RETRY_SLEEP_S = 240
+
+
+def _ensure_backend():
+    import jax
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        tries = int(os.environ.get("BENCH_INIT_RETRY", "0"))
+        if tries >= _MAX_INIT_RETRIES:
+            raise
+        print(f"# backend init failed ({e}); retry {tries + 1}/"
+              f"{_MAX_INIT_RETRIES} in {_RETRY_SLEEP_S}s", file=sys.stderr)
+        time.sleep(_RETRY_SLEEP_S)
+        os.environ["BENCH_INIT_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    _ensure_backend()
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.eval import InferencePipeline
 
