@@ -84,3 +84,36 @@ def test_visualize_cli(trained_ckpt):
     img = np.asarray(Image.open(os.path.join(vis_dir, pngs[0])))
     assert (img == np.array([0, 220, 60])).all(-1).any(), "no pred dots"
     assert (img == np.array([60, 90, 255])).all(-1).any(), "no gt dots"
+
+
+@pytest.mark.slow
+def test_export_stablehlo_cli(trained_ckpt):
+    """checkpoint -> StableHLO artifact -> deserialize with only jax ->
+    outputs match the live pipeline bit-close."""
+    from densefusion_tpu.cli.export_stablehlo import main as export_main
+    from densefusion_tpu.export import load_exported
+    from densefusion_tpu.data import LineModDataset, collate
+    from densefusion_tpu.serve import PoseEstimator
+
+    root, ckpt, out = trained_ckpt
+    art = os.path.join(out, "posenet_b2.shlo")
+    export_main(["--checkpoint", ckpt, "--batch", "2", "--iterations", "2",
+                 "--out", art])
+    fn = load_exported(open(art, "rb").read())
+
+    ds = LineModDataset(root, "test", num_points=64, crop_size=64,
+                        num_mesh_points=64, objlist=[1], add_noise=False)
+    batch = collate([ds[0], ds[1]])
+    q, t, c = fn(batch.img, batch.points, batch.choose, batch.obj_idx)
+
+    est = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
+                                        crop_size=64, refine_iters=2)
+    q2, t2, c2 = est.pipeline(est.params_pose, est.params_refine,
+                              batch.img, batch.points, batch.choose,
+                              batch.obj_idx)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c2),
+                               rtol=1e-5, atol=1e-6)
