@@ -216,11 +216,16 @@ def _paired_call(act, rt, model_s, target_s, num_m):
 
 def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, model_s_ref,
                 out_ref, *, group: int, ref_tile: int, num_m: int,
-                m_pad: int):
+                m_pad: int, num_n: int):
     b = pl.program_id(0)
+    blk = pl.program_id(1)
 
     @pl.when(act_ref[b] != 0)
     def _run():
+        # zero first: hypothesis rows beyond num_n skip their group below
+        # (the refiner shape is N=1 — without the skip, 7 of each block's 8
+        # sublane rows would run the full search on padding)
+        out_ref[0] = jnp.zeros_like(out_ref[0])
         lanes = group * m_pad
         inv_m = jnp.float32(1.0 / num_m)
         mrow = [model_l_ref[0, j:j + 1, :] for j in range(3)]  # (1, M_pad)
@@ -262,60 +267,63 @@ def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, model_s_ref,
             _, best_c = jax.lax.fori_loop(0, m_pad // ref_tile, body, init)
             return best_c
 
-        out_rows = []
         for g0 in range(0, 8, group):
-            # query group: hypothesis g0+h occupies lanes [h·M_pad, …)
-            qrows = []
-            for c in range(3):
-                parts = []
-                for h in range(group):
-                    r = rt_ref[0, g0 + h:g0 + h + 1, :]        # (1, 16)
-                    parts.append(
-                        r[:, 3 * c + 0:3 * c + 1] * mrow[0]
-                        + r[:, 3 * c + 1:3 * c + 2] * mrow[1]
-                        + r[:, 3 * c + 2:3 * c + 3] * mrow[2]
-                        + r[:, 9 + c:10 + c])                  # (1, M_pad)
-                qrows.append(parts[0] if group == 1
-                             else jnp.concatenate(parts, axis=1))
-            q = jnp.concatenate(
-                qrows + [jnp.zeros((5, lanes), jnp.float32)], axis=0)
-
-            best_c = search(q)
-            d2 = jnp.zeros((1, lanes), jnp.float32)
-            diffs = []
-            for c in range(3):
-                dc = q[c:c + 1] - best_c[c:c + 1]
-                diffs.append(dc)
-                d2 = d2 + dc * dc
-            d2f = jnp.maximum(d2, EPS)
-            d = jnp.sqrt(d2f) * mmask
-            inv_d = jnp.where(d2 > EPS, jax.lax.rsqrt(d2f), 0.0) \
-                * mmask * inv_m
-
-            for h in range(group):
-                sl = slice(h * m_pad, (h + 1) * m_pad)
-                dis_h = jnp.sum(d[0, sl]) * inv_m              # scalar
-                a_rows, s_vals = [], []
+            @pl.when(blk * 8 + g0 < num_n)
+            def _grp(g0=g0):
+                # query group: hypothesis g0+h occupies lanes [h·M_pad, …)
+                qrows = []
                 for c in range(3):
-                    u_c = (diffs[c] * inv_d)[:, sl]            # (1, M_pad)
-                    g_c = jax.lax.dot_general(
-                        u_c, model_s_ref[0],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # (1, 8)
-                    a_rows.append(g_c[:, 0:3])
-                    s_vals.append(g_c[:, 3:4])
-                out_rows.append(jnp.concatenate(
-                    [dis_h.reshape(1, 1)] + a_rows + s_vals
-                    + [jnp.zeros((1, 3), jnp.float32)], axis=1))  # (1, 16)
-        out_ref[0] = jnp.concatenate(out_rows, axis=0)
+                    parts = []
+                    for h in range(group):
+                        r = rt_ref[0, g0 + h:g0 + h + 1, :]    # (1, 16)
+                        parts.append(
+                            r[:, 3 * c + 0:3 * c + 1] * mrow[0]
+                            + r[:, 3 * c + 1:3 * c + 2] * mrow[1]
+                            + r[:, 3 * c + 2:3 * c + 3] * mrow[2]
+                            + r[:, 9 + c:10 + c])              # (1, M_pad)
+                    qrows.append(parts[0] if group == 1
+                                 else jnp.concatenate(parts, axis=1))
+                q = jnp.concatenate(
+                    qrows + [jnp.zeros((5, lanes), jnp.float32)], axis=0)
+
+                best_c = search(q)
+                d2 = jnp.zeros((1, lanes), jnp.float32)
+                diffs = []
+                for c in range(3):
+                    dc = q[c:c + 1] - best_c[c:c + 1]
+                    diffs.append(dc)
+                    d2 = d2 + dc * dc
+                d2f = jnp.maximum(d2, EPS)
+                d = jnp.sqrt(d2f) * mmask
+                inv_d = jnp.where(d2 > EPS, jax.lax.rsqrt(d2f), 0.0) \
+                    * mmask * inv_m
+
+                rows_out = []
+                for h in range(group):
+                    sl = slice(h * m_pad, (h + 1) * m_pad)
+                    dis_h = jnp.sum(d[0, sl]) * inv_m          # scalar
+                    a_rows, s_vals = [], []
+                    for c in range(3):
+                        u_c = (diffs[c] * inv_d)[:, sl]        # (1, M_pad)
+                        g_c = jax.lax.dot_general(
+                            u_c, model_s_ref[0],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (1, 8)
+                        a_rows.append(g_c[:, 0:3])
+                        s_vals.append(g_c[:, 3:4])
+                    rows_out.append(jnp.concatenate(
+                        [dis_h.reshape(1, 1)] + a_rows + s_vals
+                        + [jnp.zeros((1, 3), jnp.float32)], axis=1))
+                out_ref[0, pl.ds(g0, group), :] = jnp.concatenate(
+                    rows_out, axis=0)                          # (group, 16)
 
     @pl.when(act_ref[b] == 0)
     def _skip():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("num_m",))
-def _min_call(act, rt_t, model_l, target_l, model_s, num_m):
+@functools.partial(jax.jit, static_argnames=("num_m", "num_n"))
+def _min_call(act, rt_t, model_l, target_l, model_s, num_m, num_n):
     bsz, n_pad, _ = rt_t.shape
     m_pad = model_l.shape[2]
     group = 8
@@ -325,7 +333,7 @@ def _min_call(act, rt_t, model_l, target_l, model_s, num_m):
     grid = (bsz, n_pad // 8)
     return pl.pallas_call(
         functools.partial(_min_kernel, group=group, ref_tile=ref_tile,
-                          num_m=num_m, m_pad=m_pad),
+                          num_m=num_m, m_pad=m_pad, num_n=num_n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -387,7 +395,8 @@ def _fused_impl(R, t, model, target, sym, use_adds):
         target_l = _pad_axis(
             jnp.swapaxes(target.astype(jnp.float32), 1, 2), m_pad, 2)
         target_l = _pad_axis(target_l, 8, 1)
-        out_b = _min_call(sym_i, rt_t, model_l, target_l, model_s, num_m=m)
+        out_b = _min_call(sym_i, rt_t, model_l, target_l, model_s,
+                          num_m=m, num_n=n)
         out = jnp.where(sym[:, None, None], out_b[:, :n, :], out)
 
     return out[..., 0], out[..., 1:13]                         # dis, coef
