@@ -156,6 +156,54 @@ def bench_train_step(batch: int = 8, repeats: int = 10,
             "train_frames_per_s": batch / dt}
 
 
+def bench_refine_step(batch: int = 8, repeats: int = 10,
+                      sym_fraction: float = 0.25, mesh_points: int = 2600,
+                      refine_iters: int = 2):
+    """Phase-2 (refiner) train step at the YCB refine-tail shape: frozen
+    PoseNet forward + K refiner iterations, each with the N=1 ADD-S loss
+    against the ``mesh_points``(=2600)-point model cloud
+    (``tools/train.py:155-159,230-243``)."""
+    import numpy as np
+    import jax
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.data import PoseSample
+    from densefusion_tpu.train import create_train_state
+    from densefusion_tpu.train.steps import make_refine_train_step
+    from densefusion_tpu.train.state import make_optimizer
+    from densefusion_tpu.utils.config import RunConfig
+
+    b, n, m, crop, num_obj = batch, 1000, mesh_points, 192, 21
+    rng = np.random.default_rng(0)
+    sym = (np.arange(b) < round(sym_fraction * b))
+    batch_data = PoseSample(
+        points=rng.standard_normal((b, n, 3)).astype(np.float32) * 0.05,
+        choose=rng.integers(0, crop * crop, (b, n)).astype(np.int32),
+        img=rng.standard_normal((b, crop, crop, 3)).astype(np.float32),
+        target=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+        model_points=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+        obj_idx=rng.integers(0, num_obj, (b,)).astype(np.int32),
+        sym=sym, valid=np.ones((b,), bool),
+    )
+    cfg = RunConfig.preset("ycb")
+    posenet, refiner = PoseNet(num_obj=num_obj), PoseRefineNet(num_obj=num_obj)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch_data)
+    tx = make_optimizer(cfg.lr)
+    state = state.replace(opt_state=tx.init(state.params_refine))
+    step = make_refine_train_step(posenet, refiner, tx,
+                                  refine_iters=refine_iters)
+    w = np.float32(0.015)
+    state, metrics = step(state, batch_data, w)
+    _sync(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state, metrics = step(state, batch_data, w)
+        _sync(metrics["loss"])
+    dt = (time.perf_counter() - t0) / repeats
+    return {"refine_batch": batch, "refine_mesh_points": mesh_points,
+            "refine_ms_per_step": dt * 1e3, "refine_frames_per_s": b / dt}
+
+
 def bench_scaling(per_device_batch: int = 8, repeats: int = 5):
     """Data-parallel scaling: frames/s of the pose train step at 1..N devices
     (weak scaling, fixed per-device batch). Efficiency(N) =
@@ -344,7 +392,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="all",
                    choices=["all", "knn", "inference", "latency", "train",
-                            "scaling", "loader", "train_e2e"])
+                            "refine", "scaling", "loader", "train_e2e"])
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--dataset_root", default=None,
                    help="existing YCB-format root for --what loader "
@@ -365,6 +413,8 @@ def main(argv=None):
             results.update(bench_latency())
         if args.what in ("all", "train"):
             results.update(bench_train_step())
+        if args.what == "refine":
+            results.update(bench_refine_step(batch=args.batch))
         if args.what == "scaling":
             results.update(bench_scaling())
         if args.what == "loader":
