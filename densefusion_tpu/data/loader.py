@@ -27,6 +27,24 @@ import numpy as np
 from densefusion_tpu.data.schema import PoseSample, collate
 
 
+def _axon_client_live() -> bool:
+    """True once the axon remote-TPU client has initialized in this process.
+
+    Forking with the client's per-process gRPC/tokio threads live wedges the
+    device session (observed: train stalls forever in session acquire), so
+    process workers must downgrade to threads. Only an *initialized* backend
+    matters: pool env vars alone start no threads, and runs pinned to
+    ``JAX_PLATFORMS=cpu`` never initialize the client at all — checking the
+    live backend registry (instead of the env) keeps fork workers available
+    there. Checked lazily at fork time, not construction, since the backend
+    usually initializes between the two.
+    """
+    mod = sys.modules.get("jax._src.xla_bridge")
+    if mod is None:
+        return False
+    return any("axon" in name for name in getattr(mod, "_backends", {}))
+
+
 class _SlotLayout:
     """Byte layout of one fixed-shape PoseSample inside a shared slab.
 
@@ -170,16 +188,6 @@ class BatchLoader:
             raise ValueError(f"unknown worker_mode {worker_mode!r}")
         if worker_mode == "process" and not sys.platform.startswith("linux"):
             worker_mode = "thread"
-        if worker_mode == "process" and os.environ.get("PALLAS_AXON_POOL_IPS"):
-            # the axon remote-TPU client registers per-process gRPC/tokio
-            # threads at interpreter start; forking with that client live
-            # wedges the device session (observed: train stalls forever in
-            # session acquire). Thread workers are safe and still clear the
-            # device step rate on tunnel hosts.
-            warnings.warn("axon remote-TPU client active in this process: "
-                          "falling back to worker_mode='thread' (fork "
-                          "workers would wedge the device session)")
-            worker_mode = "thread"
         self.worker_mode = worker_mode
         self._pool: _ProcessPool | None = None
 
@@ -228,6 +236,12 @@ class BatchLoader:
             # and bit-reproducible regardless of worker scheduling
             self.dataset.set_epoch(epoch)
         batches = self.batch_indices(epoch)[start_batch:]
+        if (self.worker_mode == "process" and self._pool is None
+                and _axon_client_live()):
+            warnings.warn("axon remote-TPU client active in this process: "
+                          "falling back to worker_mode='thread' (fork "
+                          "workers would wedge the device session)")
+            self.worker_mode = "thread"
         if self.num_workers <= 1:
             for idx in batches:
                 yield self.collate_fn([self.dataset[int(i)] for i in idx])

@@ -135,8 +135,25 @@ def test_non_linux_falls_back_to_thread(ycb_ds, monkeypatch):
 
 def test_axon_client_falls_back_to_thread(ycb_ds, monkeypatch):
     """Fork workers must not coexist with the in-process axon remote-TPU
-    client (live gRPC threads at fork wedge the device session)."""
-    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    client (live gRPC threads at fork wedge the device session). The check
+    is lazy — construction keeps mode='process'; the downgrade happens at
+    the first epoch, once the backend registry can be trusted."""
+    import densefusion_tpu.data.loader as loader_mod
+    monkeypatch.setattr(loader_mod, "_axon_client_live", lambda: True)
+    ld = BatchLoader(ycb_ds, 4, num_workers=2, worker_mode="process")
+    assert ld.worker_mode == "process"
     with pytest.warns(UserWarning, match="axon"):
-        ld = BatchLoader(ycb_ds, 4, num_workers=2, worker_mode="process")
+        next(ld.epoch(0))
     assert ld.worker_mode == "thread"
+
+
+def test_axon_env_alone_keeps_process_mode(ycb_ds, monkeypatch):
+    """Pool env vars without an initialized axon backend (e.g. a run pinned
+    to JAX_PLATFORMS=cpu on a tunnel host) must NOT cost the fork workers."""
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    ld = BatchLoader(ycb_ds, 4, num_workers=2, worker_mode="process")
+    try:
+        next(ld.epoch(0))
+        assert ld.worker_mode == "process"
+    finally:
+        ld.close()
