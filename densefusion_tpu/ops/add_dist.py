@@ -214,9 +214,9 @@ def _paired_call(act, rt, model_s, target_s, num_m):
 # amortizing its reduction cost; G shrinks as M grows to bound VMEM.
 
 
-def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, model_s_ref,
-                out_ref, *, group: int, ref_tile: int, num_m: int,
-                m_pad: int, num_n: int):
+def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, tsq_ref,
+                model_s_ref, out_ref, *, group: int, ref_tile: int,
+                num_m: int, m_pad: int, num_n: int):
     b = pl.program_id(0)
     blk = pl.program_id(1)
 
@@ -231,11 +231,6 @@ def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, model_s_ref,
         mrow = [model_l_ref[0, j:j + 1, :] for j in range(3)]  # (1, M_pad)
         mmask1 = (jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
                   < num_m).astype(jnp.float32)
-        tsq = jnp.zeros((1, m_pad), jnp.float32)
-        for c in range(3):
-            trow = target_l_ref[0, c:c + 1, :]
-            tsq = tsq + trow * trow
-        tsq = jnp.where(mmask1 > 0, tsq, jnp.inf)[0]           # (M_pad,)
         mmask = (mmask1 if group == 1
                  else jnp.concatenate([mmask1] * group, axis=1))  # (1, L)
 
@@ -244,8 +239,9 @@ def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, model_s_ref,
             def body(tr, carry):
                 best_d, best_c = carry
                 ttile = target_l_ref[0, :, pl.ds(tr * ref_tile, ref_tile)]
-                rsq = jax.lax.dynamic_slice_in_dim(
-                    tsq, tr * ref_tile, ref_tile)              # (TR,)
+                # ‖target‖² comes in as a ref (Mosaic cannot dynamic-slice
+                # kernel VALUES; ref slices like this one it can)
+                rsq = tsq_ref[0, 0, pl.ds(tr * ref_tile, ref_tile)]  # (TR,)
                 scores = rsq[:, None] - 2.0 * jax.lax.dot_general(
                     ttile, q, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # (TR, L)
@@ -323,7 +319,7 @@ def _min_kernel(act_ref, rt_ref, model_l_ref, target_l_ref, model_s_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_m", "num_n"))
-def _min_call(act, rt_t, model_l, target_l, model_s, num_m, num_n):
+def _min_call(act, rt_t, model_l, target_l, tsq, model_s, num_m, num_n):
     bsz, n_pad, _ = rt_t.shape
     m_pad = model_l.shape[2]
     group = 8
@@ -341,6 +337,7 @@ def _min_call(act, rt_t, model_l, target_l, model_s, num_m, num_n):
                 pl.BlockSpec((1, 8, 16), lambda b, i, s: (b, i, 0)),
                 pl.BlockSpec((1, 8, m_pad), lambda b, i, s: (b, 0, 0)),
                 pl.BlockSpec((1, 8, m_pad), lambda b, i, s: (b, 0, 0)),
+                pl.BlockSpec((1, 1, m_pad), lambda b, i, s: (b, 0, 0)),
                 pl.BlockSpec((1, m_pad, 8), lambda b, i, s: (b, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 8, 16), lambda b, i, s: (b, i, 0)),
@@ -351,7 +348,7 @@ def _min_call(act, rt_t, model_l, target_l, model_s, num_m, num_n):
             bytes_accessed=bsz * (n_pad * 32 + m_pad * 32) * 4,
             transcendentals=bsz * n_pad * m_pad,
         ),
-    )(act, rt_t, model_l, target_l, model_s)
+    )(act, rt_t, model_l, target_l, tsq, model_s)
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +392,10 @@ def _fused_impl(R, t, model, target, sym, use_adds):
         target_l = _pad_axis(
             jnp.swapaxes(target.astype(jnp.float32), 1, 2), m_pad, 2)
         target_l = _pad_axis(target_l, 8, 1)
-        out_b = _min_call(sym_i, rt_t, model_l, target_l, model_s,
+        tsq = jnp.sum(target_l * target_l, axis=1)             # (B, M_pad)
+        tsq = jnp.where(jnp.arange(m_pad)[None, :] < m, tsq,
+                        jnp.inf)[:, None, :]                   # (B, 1, M_pad)
+        out_b = _min_call(sym_i, rt_t, model_l, target_l, tsq, model_s,
                           num_m=m, num_n=n)
         out = jnp.where(sym[:, None, None], out_b[:, :n, :], out)
 
