@@ -78,7 +78,8 @@ def _edge_upsample_1d(v: jax.Array, axis: int) -> jax.Array:
 
 
 def phase_conv_phases(x: jax.Array, kernel: jax.Array,
-                      bias: jax.Array) -> jax.Array:
+                      bias: jax.Array,
+                      conv_backend: str = "auto") -> jax.Array:
     """The phase-major intermediate of :func:`phase_upsample_conv3x3`
     (replicate border): one half-res VALID conv with the 4 composed phase
     kernels, WITHOUT the depth-to-space interleave. Output (B, h, w,
@@ -87,7 +88,14 @@ def phase_conv_phases(x: jax.Array, kernel: jax.Array,
 
     The sparse decode path gathers from this layout directly: skipping the
     interleave avoids a full-res materialization, and the per-point gather
-    happens after the cheap dense final 1x1 (docs/PERF.md round 2)."""
+    happens after the cheap dense final 1x1 (docs/PERF.md round 2).
+
+    ``conv_backend`` selects the VALID-conv lowering (see
+    :func:`densefusion_tpu.ops.phase_conv.conv3x3_valid`): "pallas" is the
+    flat-space nine-shifted-matmul kernel, "xla" the native conv, "auto"
+    picks per platform from on-chip measurements."""
+    from densefusion_tpu.ops.phase_conv import conv3x3_valid
+
     m_even = jnp.asarray(UPSAMPLE_TAPS_EVEN, kernel.dtype)
     m_odd = jnp.asarray(UPSAMPLE_TAPS_ODD, kernel.dtype)
     m = jnp.stack([m_even, m_odd])                        # (2, tap, src)
@@ -97,15 +105,14 @@ def phase_conv_phases(x: jax.Array, kernel: jax.Array,
 
     # uniform interior formula: replicate padding == the resize's edge clamp
     xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp, pk, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))      # (B, h, w, 4*cout)
+    y = conv3x3_valid(xp, pk, backend=conv_backend)      # (B, h, w, 4*cout)
     return y + jnp.tile(bias.astype(y.dtype), 4)
 
 
 def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
                            bias: jax.Array,
-                           border: str = "zero") -> jax.Array:
+                           border: str = "zero",
+                           conv_backend: str = "auto") -> jax.Array:
     """Fused ``conv3x3(pad(resize_bilinear(x, 2x)))`` as ONE half-res conv.
 
     Exactly equal (incl. borders) to upsampling x (B, h, w, Cin) 2x with the
@@ -126,7 +133,8 @@ def phase_upsample_conv3x3(x: jax.Array, kernel: jax.Array,
     """
     b, h, w, cin = x.shape
     cout = kernel.shape[-1]
-    y = phase_conv_phases(x, kernel, bias)                # (B, h, w, 4*cout)
+    y = phase_conv_phases(x, kernel, bias,
+                          conv_backend=conv_backend)      # (B, h, w, 4*cout)
     y = y.reshape(b, h, w, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * w, cout)                  # depth-to-space
     if border == "replicate":

@@ -18,9 +18,14 @@ from densefusion_tpu.ops.add_dist import (
     hypothesis_mean_dist,
     hypothesis_mean_dist_xla,
 )
+from densefusion_tpu.ops.phase_conv import (
+    conv3x3_valid,
+    conv3x3_valid_xla,
+)
 
 __all__ = [
     "nearest_neighbor", "knn", "adds_remap_targets",
     "nearest_neighbor_xla", "nearest_neighbor_pallas",
     "hypothesis_mean_dist", "hypothesis_mean_dist_xla",
+    "conv3x3_valid", "conv3x3_valid_xla",
 ]

@@ -21,8 +21,19 @@ intermediate HBM traffic between taps.
 Backward runs ``jax.vjp`` of the XLA conv (mathematically identical), so
 training gradients are bit-identical to the previous path.
 
-Replaces the capability of the reference's decoder convs
-(``lib/pspnet.py:27-37`` ``PSPUpsample``) on the TPU hot path.
+MEASURED DECISION (round 3, v5e, batch 64 bf16, same-session —
+``examples/tpu_up1_pallas.py``): the kernel LOSES to XLA's native conv
+lowering at every decoder phase shape — up1 (24² x1024→1024) 7.22 vs
+6.22 ms, up2 (48² x256→256) 2.74 vs 2.03 ms, up3 (96² x64→256) 9.02 vs
+3.68 ms (the cin=64→128 lane padding doubles its FLOPs). The roll of the
+f32 partial product per tap plus the halo-row waste costs more than XLA's
+~66%-efficient native lowering saves. So ``backend="auto"`` resolves to
+XLA everywhere; the Pallas path stays available (tested, value/grad-exact)
+as an explicit opt-in and as the bench harness's Mosaic-lowering canary
+(``bench.py`` kernel-parity smoke).
+
+Relates to the capability of the reference's decoder convs
+(``lib/pspnet.py:27-37`` ``PSPUpsample``).
 """
 
 from __future__ import annotations
@@ -150,13 +161,6 @@ def _conv3x3_bwd(res, g):
 _conv3x3_pallas.defvjp(_conv3x3_fwd, _conv3x3_bwd)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
-
-
 def conv3x3_valid(xp: jax.Array, pk: jax.Array, *,
                   backend: str = "auto") -> jax.Array:
     """VALID 3x3 convolution of a pre-padded NHWC map.
@@ -164,10 +168,13 @@ def conv3x3_valid(xp: jax.Array, pk: jax.Array, *,
     Args:
       xp: (B, h+2, w+2, Cin) input, already padded by 1 (edge or zero).
       pk: (3, 3, Cin, Cout) HWIO kernel.
-      backend: "auto" (Pallas on TPU, XLA elsewhere) / "pallas" / "xla".
+      backend: "auto" / "pallas" / "xla". "auto" resolves to XLA on every
+        platform: the Pallas kernel measured SLOWER than XLA's native conv
+        at all three decoder shapes on v5e (module docstring table), so it
+        is an explicit opt-in only.
 
     Returns: (B, h, w, Cout); differentiable in both arguments (backward
     uses the XLA conv transposes)."""
-    if backend == "pallas" or (backend == "auto" and _on_tpu()):
+    if backend == "pallas":
         return _conv3x3_pallas(xp, pk)
     return conv3x3_valid_xla(xp, pk)

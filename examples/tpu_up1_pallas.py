@@ -1,23 +1,22 @@
-"""Pallas up1 probe: the 24² x1024 -> 1024 (4-phase x256) conv as an
-explicit 9-tap accumulating MXU matmul kernel.
+"""On-chip benchmark of the decoder's Pallas 3x3 VALID conv
+(``ops/phase_conv.conv3x3_valid``) vs XLA's native conv lowering, at the
+three half-res phase-conv shapes of the PSPNet decoder (batch 64, bf16):
 
-Round-2b probed four XLA formulations of up1 (native conv / shift-matmul /
-split-N / im2col) at a shared ~5 ms floor for batch 64 (docs/PERF.md); a
-hand-scheduled Pallas kernel was never tried. Theoretical floor at the
-shape (64·576 rows x K=1024 x N=1024, 9 taps) is ~3.5 ms on v5e.
+    up1:  24x24 x1024 -> 1024 (4 phases x 256)
+    up2:  48x48 x 256 ->  256 (4 phases x 64)
+    up3:  96x96 x  64 ->  256 (4 phases x 64)
 
-Kernel: grid (col_halves, B). Each step loads one edge-padded image block
-(1, 26, 26, 1024) bf16 and a (9, 1024, N_tile) weight block, accumulates
-the nine shifted (576, 1024) @ (1024, N_tile) matmuls in f32, writes
-(24, 24, N_tile) bf16. The weight block's index map depends only on the
-outer grid dim, so it stays resident across the batch sweep.
+plus the integrated ``phase_upsample_conv3x3`` stages under both backends.
+Round-2b probed four XLA formulations of up1 at a shared ~5 ms floor
+(docs/PERF.md); theoretical MXU floor at that shape is ~3.5 ms on v5e.
 
-Usage: python examples/tpu_up1_pallas.py [--iters 30]
+Usage: python examples/tpu_up1_pallas.py [--iters 30] [--batch 64]
+Writes one JSON dict to --out (default /tmp/up1_pallas.json).
 """
 
 import argparse
-import functools
 import json
+import math
 import time
 
 import numpy as np
@@ -32,93 +31,77 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
+    from densefusion_tpu.ops.phase_conv import conv3x3_valid
+    from densefusion_tpu.models.layers import phase_upsample_conv3x3
 
     results = {}
 
     def record(k, v):
+        if isinstance(v, float) and not math.isfinite(v):
+            v = repr(v)  # keep the JSON standard-parseable
         results[k] = v
         print(k, v, flush=True)
-
-    B, H, W, CIN, COUT = args.batch, 24, 24, 1024, 1024
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, H, W, CIN)), jnp.bfloat16)
-    pk = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)) * 0.02,
-                     jnp.bfloat16)
-    bias = jnp.asarray(rng.standard_normal((COUT,)) * 0.1, jnp.bfloat16)
-
-    # -- XLA reference: replicate-padded VALID conv (phase_conv_phases form)
-    @jax.jit
-    def conv_xla(x, pk, bias):
-        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
-        y = jax.lax.conv_general_dilated(
-            xp, pk, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias.astype(y.dtype)
-
-    # -- Pallas kernel -----------------------------------------------------
-    def kernel(x_ref, w_ref, b_ref, o_ref, *, n_tile):
-        acc = jnp.zeros((H * W, n_tile), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                xs = x_ref[0, dy:dy + H, dx:dx + W, :].reshape(H * W, CIN)
-                acc += jax.lax.dot_general(
-                    xs, w_ref[3 * dy + dx],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        acc += b_ref[0].astype(jnp.float32)[None, :]
-        o_ref[0] = acc.astype(o_ref.dtype).reshape(H, W, n_tile)
-
-    def conv_pallas(x, pk, bias, n_tile):
-        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
-        w = pk.reshape(9, CIN, COUT)
-        bn = bias.reshape(COUT // n_tile, n_tile)
-        grid = (COUT // n_tile, B)
-        return pl.pallas_call(
-            functools.partial(kernel, n_tile=n_tile),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, H + 2, W + 2, CIN), lambda h, b: (b, 0, 0, 0)),
-                pl.BlockSpec((9, CIN, n_tile), lambda h, b: (0, 0, h)),
-                pl.BlockSpec((1, n_tile), lambda h, b: (h, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, H, W, n_tile),
-                                   lambda h, b: (b, 0, 0, h)),
-            out_shape=jax.ShapeDtypeStruct((B, H, W, COUT), x.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * B * H * W * 9 * CIN * COUT,
-                bytes_accessed=(COUT // n_tile) * B * (H + 2) * (W + 2)
-                * CIN * 2 + B * H * W * COUT * 2 + 9 * CIN * COUT * 2,
-                transcendentals=0,
-            ),
-        )(xp, w, bn)
 
     def timeit(tag, fn, *arrs, iters=None):
         iters = iters or args.iters
         t0 = time.perf_counter()
         r = fn(*arrs)
-        _ = np.asarray(r[0, 0, 0, :1], np.float32)
+        _ = np.asarray(r.reshape(-1)[:1], np.float32)  # scalar sync only
         record(tag + "_compile_s", round(time.perf_counter() - t0, 1))
         t0 = time.perf_counter()
         for _ in range(iters):
             r = fn(*arrs)
-        _ = np.asarray(r[0, 0, 0, :1], np.float32)
+        _ = np.asarray(r.reshape(-1)[:1], np.float32)
         dt = (time.perf_counter() - t0) / iters * 1e3
         record(tag + "_ms", round(dt, 3))
         return r
 
-    ref = timeit("xla", conv_xla, x, pk, bias)
-    for n_tile in (512, 256):
-        f = jax.jit(functools.partial(conv_pallas, n_tile=n_tile))
-        try:
-            got = timeit(f"pallas_n{n_tile}", f, x, pk, bias)
-            err = float(jnp.max(jnp.abs(
-                got.astype(jnp.float32) - ref.astype(jnp.float32))))
-            rel = err / float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
-            record(f"pallas_n{n_tile}_maxerr", err)
-            record(f"pallas_n{n_tile}_rel", rel)
-        except Exception as e:  # noqa: BLE001
-            record(f"pallas_n{n_tile}_error", repr(e)[:500])
+    rng = np.random.default_rng(0)
+    B = args.batch
+    stages = {
+        "up1": (24, 1024, 1024),
+        "up2": (48, 256, 256),
+        "up3": (96, 64, 256),
+    }
+
+    for name, (hw, cin, cout) in stages.items():
+        xp = jnp.asarray(rng.standard_normal((B, hw + 2, hw + 2, cin)),
+                         jnp.bfloat16)
+        pk = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.02,
+                         jnp.bfloat16)
+        ref = None
+        for backend in ("xla", "pallas"):
+            fn = jax.jit(lambda xp, pk, b=backend: conv3x3_valid(
+                xp, pk, backend=b))
+            try:
+                got = timeit(f"{name}_{backend}", fn, xp, pk)
+            except Exception as e:  # noqa: BLE001
+                record(f"{name}_{backend}_error", repr(e)[:500])
+                continue
+            if ref is None:
+                ref = got
+            else:
+                # identical bf16 bias-free outputs; f32 compare
+                a = np.asarray(got, np.float32)
+                b = np.asarray(ref, np.float32)
+                denom = max(float(np.max(np.abs(b))), 1e-30)
+                record(f"{name}_maxerr_rel",
+                       float(np.max(np.abs(a - b))) / denom)
+
+    # integrated upsample stages (replicate border, both backends)
+    for name, (hw, cin, cout4) in stages.items():
+        cout = cout4 // 4
+        x = jnp.asarray(rng.standard_normal((B, hw, hw, cin)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.02,
+                        jnp.bfloat16)
+        bias = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.bfloat16)
+        for backend in ("xla", "pallas"):
+            fn = jax.jit(lambda x, k, bias, b=backend: phase_upsample_conv3x3(
+                x, k, bias, border="replicate", conv_backend=b))
+            try:
+                timeit(f"stage_{name}_{backend}", fn, x, k, bias)
+            except Exception as e:  # noqa: BLE001
+                record(f"stage_{name}_{backend}_error", repr(e)[:500])
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
