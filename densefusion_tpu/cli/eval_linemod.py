@@ -64,10 +64,12 @@ def main(argv=None):
                          num_workers=4)
 
     num_obj = len(ds.objlist)
-    posenet = PoseNet(num_obj=num_obj)
-    refiner = PoseRefineNet(num_obj=num_obj)
     cfg = RunConfig.preset("linemod", num_points=args.num_points,
                            crop_size=args.crop_size)
+    from densefusion_tpu.train import peek_config
+    ck_cfg = peek_config(args.checkpoint)
+    posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
+    refiner = PoseRefineNet(num_obj=num_obj)
     sample = next(iter(loader.epoch(0)))
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                sample)

@@ -73,10 +73,14 @@ def main(argv=None):
                                crop_size=args.crop_size,
                                num_keyframes=args.num_keyframes)
     num_obj = len(ds.classes)
-    posenet = PoseNet(num_obj=num_obj)
-    refiner = PoseRefineNet(num_obj=num_obj)
     cfg = RunConfig.preset("ycb", num_points=args.num_points,
                            crop_size=args.crop_size)
+    # honor the checkpoint's own architecture flags (e.g. the torch
+    # importer's decoder="torch" align-corners mode)
+    from densefusion_tpu.train import peek_config
+    ck_cfg = peek_config(args.checkpoint)
+    posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
+    refiner = PoseRefineNet(num_obj=num_obj)
 
     pipe0 = InferencePipeline(posenet, refiner, refine_iters=0)
     pipe = InferencePipeline(posenet, refiner,

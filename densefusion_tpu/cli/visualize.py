@@ -113,10 +113,12 @@ def main(argv=None):
     if not samples:
         raise SystemExit("error: no valid samples in the selected frames")
 
-    posenet = PoseNet(num_obj=num_obj)
-    refiner = PoseRefineNet(num_obj=num_obj)
     cfg = RunConfig.preset(args.dataset, num_points=num_points,
                            crop_size=args.crop_size, num_objects=num_obj)
+    from densefusion_tpu.train import peek_config
+    ck_cfg = peek_config(args.checkpoint)
+    posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
+    refiner = PoseRefineNet(num_obj=num_obj)
     batch = collate(samples)
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                batch)

@@ -22,10 +22,16 @@ Head channel order is preserved: torch views ``num_obj*D`` conv channels as
 ``(num_obj, D)`` (``lib/network.py:118-120``), matching our
 ``reshape(..., num_obj, D)``.
 
-Known behavioral delta (documented, not a layout issue): the reference's
-decoder upsamples with ``align_corners=True`` (``lib/pspnet.py:31``) while we
-use the half-pixel convention, so imported-weight activations differ slightly
-at upsample stages; fusion/head parts are numerically exact (tested).
+Decoder convention: the reference's decoder upsamples with
+``align_corners=True`` (``lib/pspnet.py:31``). Imported checkpoints are
+written with ``decoder="torch"`` in their config, which the eval/serving
+entry points honor by constructing the model with the reference-exact
+align-corners + zero-border decoder (``PSPNet(align_corners=True)``) — whole
+-network activations match a functional torch forward of the reference
+architecture (``tests/test_align_corners.py``). The PSP priors stay
+half-pixel in every mode: ``F.upsample``'s bilinear default is
+``align_corners=False`` since torch 0.4.0 and the reference pins torch
+0.4.1 (``lib/pspnet.py:22``, ``Dockerfile:26``).
 """
 
 from __future__ import annotations
@@ -299,9 +305,13 @@ def import_torch_checkpoint(pose_pth: str, out_path: str, num_obj: int,
     from densefusion_tpu.train.state import Curriculum
     from densefusion_tpu.utils.config import RunConfig
 
+    # decoder="torch": eval/serving rebuilt from this checkpoint's config
+    # run the reference-exact align-corners decoder, so imported weights
+    # reproduce reference activations (lib/pspnet.py:31)
     cfg = RunConfig.preset(dataset, num_points=num_points,
-                           crop_size=crop_size)
-    posenet = PoseNet(num_obj=num_obj, cnn_variant=variant)
+                           crop_size=crop_size, decoder="torch")
+    posenet = PoseNet(num_obj=num_obj, cnn_variant=variant,
+                      **cfg.decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
     batch = collate([PoseSample.invalid(num_points, 500, crop_size)])
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),

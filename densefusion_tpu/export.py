@@ -48,7 +48,8 @@ def export_inference(ckpt_path: str, batch: int,
     with open(os.path.join(ckpt_path, "config.json")) as f:
         cfg = RunConfig(**json.load(f))
     dtype = jnp.bfloat16 if bf16 else None
-    posenet = PoseNet(num_obj=cfg.num_objects, dtype=dtype)
+    posenet = PoseNet(num_obj=cfg.num_objects, dtype=dtype,
+                      **cfg.decoder_flags())
     refiner = PoseRefineNet(num_obj=cfg.num_objects, dtype=dtype)
     dummy = collate([PoseSample.invalid(cfg.num_points, cfg.num_mesh_points,
                                         cfg.crop_size)])

@@ -230,6 +230,9 @@ class PoseNet(nn.Module):
     sparse_emb: bool = True      # sparse-decode the CNN at the N choose
     # pixels instead of the full crop (identical math; docs/PERF.md)
     fused_decoder: bool = True   # phase-conv upsample stages (docs/PERF.md)
+    # reference-exact decoder resizes (nn.Upsample align_corners=True +
+    # zero conv padding) for imported torch weights; overrides fused_decoder
+    align_corners: bool = False
     # rematerialize the CNN in backward: trades ~one extra CNN forward for
     # not keeping its trunk/decoder activations live through the fusion/
     # loss — the dominant activation term at large batch (crop² · channels).
@@ -240,7 +243,7 @@ class PoseNet(nn.Module):
     def __call__(self, img, points, choose, obj, train: bool = False):
         cnn = PSPNet(variant=self.cnn_variant, emb_dim=self.emb_dim,
                      dtype=self.dtype, fused_decoder=self.fused_decoder,
-                     name="cnn")
+                     align_corners=self.align_corners, name="cnn")
         sample_at = choose.astype(jnp.int32) if self.sparse_emb else None
 
         def run_cnn(mdl, img_, sample_at_):

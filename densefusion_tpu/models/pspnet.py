@@ -72,12 +72,19 @@ class PSPUpsample(nn.Module):
     ``fused=True`` computes the identical map as one half-res phase
     convolution (:func:`phase_upsample_conv3x3`) — the 4x-larger upsampled
     intermediate never touches HBM. Both paths read the same parameters.
+
+    ``align_corners=True`` reproduces the reference decoder's explicit
+    ``nn.Upsample(scale_factor=2, align_corners=True)`` exactly. The
+    align-corners 2x resize is NOT a periodic 2-phase filter (its tap
+    weights vary per output pixel), so this mode forces the dense
+    resize-then-conv path with torch-style zero conv padding.
     """
 
     features: int
     dtype: type | None = None
     fused: bool = True
     border: str = "replicate"   # decoder conv padding; see PSPNet
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -86,12 +93,14 @@ class PSPUpsample(nn.Module):
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
-        if self.fused:
+        if self.fused and not self.align_corners:
             x = phase_upsample_conv3x3(x, kernel, bias, border=self.border)
         else:
             h, w = x.shape[-3], x.shape[-2]
-            x = resize_bilinear(x, (2 * h, 2 * w))
-            pad_mode = "edge" if self.border == "replicate" else "constant"
+            x = resize_bilinear(x, (2 * h, 2 * w),
+                                align_corners=self.align_corners)
+            pad_mode = "constant" if self.align_corners else \
+                ("edge" if self.border == "replicate" else "constant")
             x = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)], mode=pad_mode)
             x = jax.lax.conv_general_dilated(
                 x, kernel, window_strides=(1, 1), padding="VALID",
@@ -154,6 +163,61 @@ def sparse_upsample_taps(x: jax.Array, rows: jax.Array, cols: jax.Array,
     return jnp.einsum("bnti,bnuj,bnijc->bntuc", wr, wc, patch)
 
 
+def _align_axis_taps(coord: jax.Array, size: int):
+    """Per-point 1-D tap weights of ``conv3x3(zero_pad(upsample2x_align))``
+    along one axis. ``coord`` (B, N) full-res center coordinates in
+    [0, 2*size) -> (anchor (B, N) first half-res source row, weights
+    (B, N, 3 taps, 3 rows)).
+
+    Align-corners source coordinate of full-res tap t is
+    ``src_t = t*(size-1)/(2*size-1)``; the three taps {y-1, y, y+1} span
+    < 1 in source space, so the half-res rows {a, a+1, a+2} with
+    ``a = floor(src_y + 0.5) - 1`` cover every tap's (i0, i0+1) pair —
+    proof: floor(u-1) = floor(u)-1 makes floor(src_y−s) ≥ a for the tap
+    half-span s < 0.5, and floor(src_y+s) ≤ a+1. Out-of-image taps
+    (zero conv padding) get weight 0.
+    """
+    t = coord[..., None] + jnp.arange(-1, 2)                  # (B, N, 3)
+    scale = (size - 1) / (2 * size - 1)
+    src = t.astype(jnp.float32) * scale
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, size - 2)
+    frac = src - i0.astype(jnp.float32)
+    a = jnp.clip(jnp.floor(src[..., 1] + 0.5).astype(jnp.int32) - 1,
+                 0, size - 3)                                  # (B, N)
+    rows_abs = a[..., None] + jnp.arange(3)                    # (B, N, 3)
+    eq0 = rows_abs[..., None, :] == i0[..., :, None]           # (B,N,tap,row)
+    eq1 = rows_abs[..., None, :] == (i0 + 1)[..., :, None]
+    wt = (eq0 * (1.0 - frac)[..., :, None] + eq1 * frac[..., :, None])
+    ok = (t >= 0) & (t < 2 * size)                             # zero border
+    return a, wt * ok[..., :, None]
+
+
+def sparse_upsample_taps_align(x: jax.Array, rows: jax.Array,
+                               cols: jax.Array) -> jax.Array:
+    """:func:`sparse_upsample_taps` for the ``align_corners=True`` upsample
+    (the reference decoder's convention, ``lib/pspnet.py:31``) with
+    torch-style zero conv padding. x (B, h, w, C) half-res; rows/cols (B, N)
+    full-res (2h x 2w) coordinates -> (B, N, 3, 3, C) tap patches, exactly
+    matching ``resize_bilinear(x, 2x, align_corners=True)`` then 3x3
+    zero-padded windowing. Unlike the half-pixel case the tap weights are
+    not fixed parity tables — they vary per output pixel — so they are
+    computed per point (cheap VPU work against the patch gather)."""
+    b, h, w, cin = x.shape
+    n = rows.shape[1]
+    ar, wr = _align_axis_taps(rows, h)
+    ac, wc = _align_axis_taps(cols, w)
+    dr = jnp.arange(3)
+    pr = ar[:, :, None] + dr                                   # (B, N, 3)
+    pc = ac[:, :, None] + dr
+    flat = x.reshape(b, h * w, cin)
+    idx = (pr[:, :, :, None] * w + pc[:, :, None, :]).reshape(b, n * 9)
+    patch = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    patch = patch.reshape(b, n, 3, 3, cin)
+    wr = wr.astype(x.dtype)
+    wc = wc.astype(x.dtype)
+    return jnp.einsum("bnti,bnuj,bnijc->bntuc", wr, wc, patch)
+
+
 class PSPNet(nn.Module):
     """Per-pixel embedding CNN: (B, H, W, 3) -> (B, H, W, emb_dim), or — with
     ``sample_at`` — only the ``emb_dim`` vectors at N selected pixels.
@@ -175,6 +239,13 @@ class PSPNet(nn.Module):
     log_softmax_emb: bool = True
     dtype: type | None = None
     fused_decoder: bool = True   # phase-conv upsample stages (docs/PERF.md)
+    # Reference-exact decoder resizes (nn.Upsample align_corners=True,
+    # lib/pspnet.py:31) for imported torch weights. Overrides fused_decoder
+    # (the align-corners filter is not 2-phase periodic) and uses torch-style
+    # zero conv padding. The PSP priors stay half-pixel in every mode:
+    # F.upsample's bilinear default is align_corners=False since torch 0.4.0
+    # and the reference pins torch 0.4.1 (lib/pspnet.py:22, Dockerfile:26).
+    align_corners: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, sample_at=None):
@@ -193,12 +264,13 @@ class PSPNet(nn.Module):
         # All three upsample stages use the phase conv: up1's 4x-smaller
         # input read wins 7.9 -> 5.3 ms/batch-64 (docs/PERF.md round 2;
         # an earlier round measured the opposite inside the old graph).
-        border = "replicate" if self.fused_decoder else "zero"
-        p = PSPUpsample(256, dtype=self.dtype, fused=self.fused_decoder,
-                        border=border, name="up1")(p)
+        fused = self.fused_decoder and not self.align_corners
+        border = "replicate" if fused else "zero"
+        p = PSPUpsample(256, dtype=self.dtype, fused=fused, border=border,
+                        align_corners=self.align_corners, name="up1")(p)
         p = Dropout2d(self.drop2, name="drop2a")(p, deterministic=not train)
-        p = PSPUpsample(64, dtype=self.dtype, fused=self.fused_decoder,
-                        border=border, name="up2")(p)
+        p = PSPUpsample(64, dtype=self.dtype, fused=fused, border=border,
+                        align_corners=self.align_corners, name="up2")(p)
         p = Dropout2d(self.drop2, name="drop2b")(p, deterministic=not train)
 
         # Final stage modules — ONE parameter set serving the dense, fused,
@@ -220,12 +292,13 @@ class PSPNet(nn.Module):
                         dtype=self.dtype, name="final")
 
         if sample_at is None:
-            if self.fused_decoder:
+            if fused:
                 p = phase_upsample_conv3x3(p, up3_kernel, up3_bias,
                                            border=border)
             else:
                 h2, w2 = p.shape[-3], p.shape[-2]
-                p = resize_bilinear(p, (2 * h2, 2 * w2))
+                p = resize_bilinear(p, (2 * h2, 2 * w2),
+                                    align_corners=self.align_corners)
                 p = jnp.pad(p, [(0, 0), (1, 1), (1, 1), (0, 0)])
                 p = jax.lax.conv_general_dilated(
                     p, up3_kernel, window_strides=(1, 1), padding="VALID",
@@ -264,8 +337,14 @@ class PSPNet(nn.Module):
             else:
                 # zero border needs per-point boundary masking of the tap
                 # weights — keep the patch/tap formulation for that case
-                taps = sparse_upsample_taps(p, rows, cols,
-                                            border=border)  # (B, N, 3, 3, C)
+                # (align-corners weights vary per pixel; half-pixel ones are
+                # fixed parity tables)
+                if self.align_corners:
+                    taps = sparse_upsample_taps_align(p, rows, cols)
+                else:
+                    taps = sparse_upsample_taps(p, rows, cols,
+                                                border=border)
+                # taps: (B, N, 3, 3, C)
                 y = jnp.einsum("bnijc,ijcd->bnd",
                                taps.astype(up3_kernel.dtype), up3_kernel) \
                     + up3_bias

@@ -69,8 +69,12 @@ class PoseEstimator:
         from densefusion_tpu.train import create_train_state, load_checkpoint
         from densefusion_tpu.utils.config import RunConfig
 
+        from densefusion_tpu.train.checkpoint import peek_config
+
         dtype = jnp.bfloat16 if bf16 else None
-        posenet = PoseNet(num_obj=num_obj, dtype=dtype)
+        ck_cfg = peek_config(path)
+        flags = ck_cfg.decoder_flags() if ck_cfg is not None else {}
+        posenet = PoseNet(num_obj=num_obj, dtype=dtype, **flags)
         refiner = PoseRefineNet(num_obj=num_obj, dtype=dtype)
         dummy = collate([PoseSample.invalid(num_points, 8, crop_size)])
         cfg = RunConfig(num_objects=num_obj, num_points=num_points,

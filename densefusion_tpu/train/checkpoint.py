@@ -45,6 +45,20 @@ def save_checkpoint(path: str, state: TrainState, curriculum: Curriculum,
     os.replace(path + ".tmp", path)
 
 
+def peek_config(path: str):
+    """Read a checkpoint's ``RunConfig`` without touching the array state
+    (None when the checkpoint predates config sidecars). Eval/serving
+    entry points use this to construct models with the checkpoint's own
+    architecture flags (e.g. the ``decoder`` mode the torch importer sets)."""
+    from densefusion_tpu.utils.config import RunConfig
+
+    cfg_path = os.path.join(path, "config.json")
+    if not os.path.exists(cfg_path):
+        return None
+    with open(cfg_path) as f:
+        return RunConfig.from_json(f.read())
+
+
 def peek_curriculum(path: str) -> Curriculum:
     """Read a checkpoint's curriculum without touching the array state —
     used to build a phase-matching optimizer/template before loading."""

