@@ -1,18 +1,31 @@
-"""End-to-end benchmark: pose inference throughput on the flagship pipeline.
+"""End-to-end benchmark + on-chip kernel guard.
 
-Measures frames/s of the full jitted estimate + 2-iteration-refine program
-(YCB configuration: 21 objects, 1000-point clouds, 192px crops, bf16 MXU
-compute) on the available accelerator, and compares against the reference's
-published inference speed of ~0.06 s/frame (= 16.7 fps) for PoseNet +
-refinement on a GPU (DenseFusion paper, BASELINE.md).
+Three sections, one JSON line:
+
+1. **Inference throughput** (the headline `metric`): frames/s of the full
+   jitted estimate + 2-iteration-refine program (YCB configuration: 21
+   objects, 1000-point clouds, 192px crops, bf16 MXU compute), vs the
+   reference's published ~0.06 s/frame (= 16.7 fps) GPU speed (BASELINE.md).
+2. **Train step**: device-side model+loss gradient at batch 32 with the
+   realistic 8/32 symmetric fraction through the fused ADD/ADD-S hypothesis
+   distance (`train_grad_ms_b32` / `train_fps_device` keys) — the round-2d
+   headline path, now guarded against regression every round.
+3. **Kernel parity smokes** (`kernel_parity` key): every Pallas kernel runs
+   NON-interpreted on the real chip against its XLA reference — nn
+   single/batched, ADD-S remap, fused min-distance (value+grad), hypothesis
+   distance paired+min (value+grad), decoder conv3x3 — plus shard_map+Mosaic
+   combined on a 1-device mesh (`sharded_hypothesis_mean_dist` with a
+   gradient, `ring_nearest_neighbor`). A Mosaic lowering regression (the
+   6c3dfb0 class, invisible to the CPU interpret-mode test suite) fails the
+   bench: `kernel_parity` reports the failure and the process exits 1.
 
 Methodology: requests are submitted pipelined (multiple batches in flight,
 one device sync at the end) — the serving pattern — so a tunnel/dispatch RTT
-is amortized rather than multiplied; the sync is a real host transfer of the
-final output because `block_until_ready` can be a no-op on experimental
+is amortized rather than multiplied; every sync is a real host transfer of a
+small output because `block_until_ready` can be a no-op on experimental
 TPU-tunnel platforms.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -45,6 +58,211 @@ def _ensure_backend():
         time.sleep(_RETRY_SLEEP_S)
         os.environ["BENCH_INIT_RETRY"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+def _sync(x):
+    return np.asarray(x)
+
+
+def kernel_parity_smokes() -> list[str]:
+    """Run every Pallas kernel compiled (non-interpret) against its XLA
+    reference; return a list of failure strings (empty = all parity)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from densefusion_tpu.ops import (
+        nearest_neighbor, adds_remap_targets, conv3x3_valid,
+        hypothesis_mean_dist, hypothesis_mean_dist_xla,
+    )
+    from densefusion_tpu.ops.knn import adds_min_sqdist_minus_qsq
+    from densefusion_tpu.parallel.collectives import (
+        sharded_hypothesis_mean_dist, ring_nearest_neighbor,
+    )
+    from densefusion_tpu.geometry import quat_to_matrix, random_quaternion
+
+    rng = np.random.default_rng(7)
+    fails: list[str] = []
+
+    def check(name, got, want, tol=1e-4, exact=False):
+        got, want = _sync(got), _sync(want)
+        if not np.all(np.isfinite(got)):
+            fails.append(f"{name}: non-finite output")
+            return
+        if exact:
+            ok = np.array_equal(got, want)
+        else:
+            denom = max(float(np.max(np.abs(want))), 1e-12)
+            ok = float(np.max(np.abs(got - want))) / denom <= tol
+        if not ok:
+            fails.append(f"{name}: mismatch vs XLA")
+
+    def run(name, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — any lowering error must fail
+            fails.append(f"{name}: {type(e).__name__}: {str(e)[:200]}")
+
+    # -- 1-NN, single (rank 2) and batched (rank 3, ragged sizes) ----------
+    def nn_single():
+        q = jnp.asarray(rng.standard_normal((600, 3)), jnp.float32)
+        r = jnp.asarray(rng.standard_normal((250, 3)), jnp.float32)
+        dp, ip = nearest_neighbor(q, r, backend="pallas")
+        dx, ix = nearest_neighbor(q, r, backend="xla")
+        check("nn_single_dist", dp, dx)
+        check("nn_single_idx", ip, ix, exact=True)
+    run("nn_single", nn_single)
+
+    def nn_batched():
+        q = jnp.asarray(rng.standard_normal((4, 700, 3)), jnp.float32)
+        r = jnp.asarray(rng.standard_normal((4, 333, 3)), jnp.float32)
+        dp, ip = nearest_neighbor(q, r, backend="pallas")
+        dx, ix = nearest_neighbor(q, r, backend="xla")
+        check("nn_batched_dist", dp, dx)
+        check("nn_batched_idx", ip, ix, exact=True)
+    run("nn_batched", nn_batched)
+
+    # -- ADD-S remap (sym-gated scalar prefetch) ----------------------------
+    def remap():
+        p = jnp.asarray(rng.standard_normal((3, 900, 3)), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((3, 257, 3)), jnp.float32)
+        act = jnp.asarray([True, False, True])
+        got = adds_remap_targets(p, t, backend="pallas", active=act)
+        want = adds_remap_targets(p, t, backend="xla", active=None)
+        want = jnp.where(act[:, None, None], want, 0.0)
+        check("remap", got, want)
+    run("remap", remap)
+
+    # -- fused differentiable min distance (value + custom-VJP grad) -------
+    def min_sqdist():
+        p = jnp.asarray(rng.standard_normal((2, 400, 3)), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((2, 120, 3)), jnp.float32)
+
+        def total(backend):
+            def f(p_):
+                return jnp.sum(adds_min_sqdist_minus_qsq(p_, t, None,
+                                                         backend))
+            return jax.jit(f)(p), jax.jit(jax.grad(f))(p)
+        (vp, gp), (vx, gx) = total("pallas"), total("xla")
+        check("min_sqdist_val", vp, vx)
+        check("min_sqdist_grad", gp, gx)
+    run("min_sqdist", min_sqdist)
+
+    # -- fused hypothesis distance, both branches (value + grad) -----------
+    def hyp(use_adds):
+        b, n, m = 4, 64, 37
+        q = random_quaternion(jax.random.key(11), (b, n))
+        R = quat_to_matrix(q)
+        t = jnp.asarray(rng.uniform(-0.3, 0.3, (b, n, 3)), jnp.float32)
+        mdl = jnp.asarray(rng.uniform(-0.05, 0.05, (b, m, 3)), jnp.float32)
+        # target = properly-posed model cloud: unstructured random targets
+        # produce argmin near-ties whose (sub)gradients legitimately differ
+        # between backends — not what this guard is for
+        tgt = mdl @ jnp.swapaxes(quat_to_matrix(
+            random_quaternion(jax.random.key(3), (b,))), -1, -2) \
+            + jnp.asarray(rng.uniform(-0.3, 0.3, (b, 1, 3)), jnp.float32)
+        sym = jnp.asarray([True, False, True, False])
+        wgt = jnp.asarray(rng.uniform(0.2, 1.0, (b, n)), jnp.float32)
+
+        def total(fused):
+            def f(R_, t_):
+                d = (hypothesis_mean_dist(R_, t_, mdl, tgt, sym,
+                                          use_adds=use_adds,
+                                          backend="pallas") if fused else
+                     hypothesis_mean_dist_xla(R_, t_, mdl, tgt, sym,
+                                              use_adds))
+                return jnp.sum(d * wgt)
+            return jax.jit(f)(R, t), jax.jit(jax.grad(f, argnums=(0, 1)))(R, t)
+        (vp, gp), (vx, gx) = total(True), total(False)
+        tag = "adds" if use_adds else "add"
+        check(f"hyp_{tag}_val", vp, vx)
+        check(f"hyp_{tag}_dR", gp[0], gx[0], tol=2e-2)   # f32 accum order
+        check(f"hyp_{tag}_dt", gp[1], gx[1], tol=2e-2)
+    run("hyp_add", lambda: hyp(False))
+    run("hyp_adds", lambda: hyp(True))
+
+    # -- decoder conv3x3 kernel --------------------------------------------
+    def conv():
+        xp = jnp.asarray(rng.standard_normal((2, 14, 14, 96)), jnp.float32)
+        pk = jnp.asarray(rng.standard_normal((3, 3, 96, 64)) * 0.1,
+                         jnp.float32)
+        got = conv3x3_valid(xp, pk, backend="pallas")
+        want = conv3x3_valid(xp, pk, backend="xla")
+        check("conv3x3", got, want)
+    run("conv3x3", conv)
+
+    # -- shard_map + Mosaic combined (1-device mesh on the real chip) ------
+    def shardmap():
+        import jax as _jax
+        mesh = Mesh(np.array(_jax.devices()[:1]), ("data",))
+        b, n, m = 2, 48, 29
+        q = random_quaternion(jax.random.key(5), (b, n))
+        R = quat_to_matrix(q)
+        t = jnp.asarray(rng.uniform(-0.2, 0.2, (b, n, 3)), jnp.float32)
+        mdl = jnp.asarray(rng.uniform(-0.05, 0.05, (b, m, 3)), jnp.float32)
+        tgt = jnp.asarray(rng.uniform(-0.05, 0.05, (b, m, 3)), jnp.float32)
+        sym = jnp.asarray([True, False])
+
+        def f(R_, t_):
+            d = sharded_hypothesis_mean_dist(R_, t_, mdl, tgt, sym, mesh,
+                                             backend="pallas")
+            return jnp.sum(d)
+        v = jax.jit(f)(R, t)
+        g = jax.jit(jax.grad(f, argnums=(0, 1)))(R, t)
+        want = jnp.sum(hypothesis_mean_dist_xla(R, t, mdl, tgt, sym, True))
+        check("shardmap_hyp_val", v, want)
+        if not np.all(np.isfinite(_sync(g[0]))):
+            fails.append("shardmap_hyp_grad: non-finite")
+
+        qq = jnp.asarray(rng.standard_normal((200, 3)), jnp.float32)
+        rr = jnp.asarray(rng.standard_normal((90, 3)), jnp.float32)
+        d, i = ring_nearest_neighbor(qq, rr, mesh, backend="pallas")
+        dx, ix = nearest_neighbor(qq, rr, backend="xla")
+        check("ring_nn_dist", d, dx)
+        check("ring_nn_idx", i, ix, exact=True)
+    run("shardmap_pallas", shardmap)
+
+    return fails
+
+
+def train_step_bench() -> dict:
+    """Device-side model+loss gradient at batch 32 (8/32 symmetric, fused
+    ADD/ADD-S hypothesis distance) — the training-path headline."""
+    import jax
+    import jax.numpy as jnp
+    from densefusion_tpu.models import PoseNet
+    from densefusion_tpu.losses.pose_loss import pose_loss
+
+    b, n, m, crop, num_obj = 32, 1000, 500, 192, 21
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((b, crop, crop, 3)), jnp.float32)
+    pts = jnp.asarray(rng.standard_normal((b, n, 3)) * 0.05, jnp.float32)
+    choose = jnp.asarray(rng.integers(0, crop * crop, (b, n)), jnp.int32)
+    obj = jnp.asarray(rng.integers(0, num_obj, (b,)), jnp.int32)
+    target = jnp.asarray(rng.standard_normal((b, m, 3)) * 0.05, jnp.float32)
+    model = jnp.asarray(rng.standard_normal((b, m, 3)) * 0.05, jnp.float32)
+    sym = jnp.arange(b) < 8
+    w = jnp.float32(0.015)
+
+    posenet = PoseNet(num_obj=num_obj)
+    params = jax.jit(posenet.init)(jax.random.key(0), img, pts, choose, obj)
+
+    def step_loss(p):
+        out = posenet.apply(p, img, pts, choose, obj, train=True,
+                            rngs={"dropout": jax.random.key(1)})
+        return pose_loss(out["pred_r"], out["pred_t"], out["pred_c"],
+                         target, model, pts, sym, w, use_adds=True).loss
+
+    g = jax.jit(jax.grad(step_loss))
+    out = g(params)
+    _sync(jax.tree.leaves(out)[0])
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = g(params)
+    _sync(jax.tree.leaves(out)[0])
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    return {"train_grad_ms_b32": round(ms, 2),
+            "train_fps_device": round(b / ms * 1e3, 1)}
 
 
 def main():
@@ -91,14 +309,27 @@ def main():
     # call's output bounds the completion of every submitted batch
     np.asarray(outs[-1])
     dt = time.perf_counter() - t0
-
     fps = batch * iters / dt
+
+    extras: dict = {}
+    if on_accel and os.environ.get("BENCH_FAST") != "1":
+        extras.update(train_step_bench())
+        fails = kernel_parity_smokes()
+        extras["kernel_parity"] = "ok" if not fails else "FAIL: " + \
+            "; ".join(fails)
+    else:
+        extras["kernel_parity"] = "skipped (cpu)" if not on_accel \
+            else "skipped (BENCH_FAST)"
+
     print(json.dumps({
         "metric": "pose_inference_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        **extras,
     }))
+    if on_accel and extras.get("kernel_parity", "ok").startswith("FAIL"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -41,7 +41,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="experiments/eval_result/ycb")
     p.add_argument("--plots", action="store_true",
                    help="write per-class accuracy-threshold figures")
+    p.add_argument("--dispatch", choices=("frame", "detection"),
+                   default="frame",
+                   help="'frame' (default): one device dispatch per keyframe"
+                        " — all PoseCNN detections padded to a small static"
+                        " bucket, unrefined+refined poses from one compiled"
+                        " program. 'detection': the reference-shaped"
+                        " batch-1-per-roi loop (tools/eval_ycb.py:147),"
+                        " ~12k dispatches over the 2949 keyframes.")
     return p
+
+
+# static batch buckets: PoseCNN emits <= ~10 detections/frame (21 classes);
+# padding to the next bucket keeps the number of compiled programs tiny
+_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 31) // 32) * 32
 
 
 def main(argv=None):
@@ -82,42 +102,87 @@ def main(argv=None):
     posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
 
-    pipe0 = InferencePipeline(posenet, refiner, refine_iters=0)
-    pipe = InferencePipeline(posenet, refiner,
-                             refine_iters=args.iterations)
-
-    # -- stage 1: pose inference per PoseCNN detection ---------------------
+    # -- stage 1: pose inference over PoseCNN detections -------------------
     state = None
-    for frame_idx in range(len(ds)):
-        wo_poses, it_poses = [], []
-        for sample, _, itemid in ds.detections(frame_idx):
-            batch = collate([sample])
-            if state is None:
-                state = create_train_state(posenet, refiner, cfg,
-                                           jax.random.key(0), batch)
-                state, _, _ = load_checkpoint(args.checkpoint, state,
-                                              restore_opt=False)
-            if not sample.valid:
-                # lost detection -> zero pose, matching the reference's
-                # ZeroDivisionError fallback (tools/eval_ycb.py:234-237);
-                # the scorer treats a zero pose as a huge-distance failure
-                wo_poses.append([0.0] * 7)
-                it_poses.append([0.0] * 7)
-                continue
-            inputs = (batch.img, batch.points, batch.choose, batch.obj_idx)
-            q0, t0, _ = pipe0(state.params_pose, state.params_refine, *inputs)
-            q, t, _ = pipe(state.params_pose, state.params_refine, *inputs)
-            wo_poses.append(np.concatenate(
-                [np.asarray(q0)[0], np.asarray(t0)[0]]).tolist())
-            it_poses.append(np.concatenate(
-                [np.asarray(q)[0], np.asarray(t)[0]]).tolist())
 
-        scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
-                     {"poses": wo_poses})
-        scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
-                     {"poses": it_poses})
-        if frame_idx % 100 == 0:
-            logger.info(f"Finish No.{frame_idx} keyframe")
+    def load_state(batch):
+        nonlocal state
+        if state is None:
+            state = create_train_state(posenet, refiner, cfg,
+                                       jax.random.key(0), batch)
+            state, _, _ = load_checkpoint(args.checkpoint, state,
+                                          restore_opt=False)
+        return state
+
+    if args.dispatch == "frame":
+        from densefusion_tpu.data.schema import PoseSample
+
+        # ONE compiled program yields both the unrefined (wo_refine) and
+        # refined (iterative) poses for the whole frame's detections —
+        # 2949 dispatches instead of ~2 per roi (~24k).
+        pipe = InferencePipeline(posenet, refiner,
+                                 refine_iters=args.iterations,
+                                 return_unrefined=True)
+        mesh_m = 500  # detections carry 500-point model clouds (ycb.py)
+        for frame_idx in range(len(ds)):
+            dets = ds.detections(frame_idx)
+            # lost detections -> zero pose, matching the reference's
+            # ZeroDivisionError fallback (tools/eval_ycb.py:234-237); the
+            # scorer treats a zero pose as a huge-distance failure
+            wo_poses = [[0.0] * 7 for _ in dets]
+            it_poses = [[0.0] * 7 for _ in dets]
+            live = [(k, s) for k, (s, _, _) in enumerate(dets) if s.valid]
+            if live:
+                pad = _bucket(len(live)) - len(live)
+                samples = [s for _, s in live] + [
+                    PoseSample.invalid(args.num_points, mesh_m,
+                                       args.crop_size)] * pad
+                batch = collate(samples)
+                st = load_state(batch)
+                q0, t0, q, t, _ = pipe(
+                    st.params_pose, st.params_refine,
+                    batch.img, batch.points, batch.choose, batch.obj_idx)
+                q0, t0 = np.asarray(q0), np.asarray(t0)
+                q, t = np.asarray(q), np.asarray(t)
+                for j, (k, _) in enumerate(live):
+                    wo_poses[k] = np.concatenate([q0[j], t0[j]]).tolist()
+                    it_poses[k] = np.concatenate([q[j], t[j]]).tolist()
+            scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
+                         {"poses": wo_poses})
+            scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
+                         {"poses": it_poses})
+            if frame_idx % 100 == 0:
+                logger.info(f"Finish No.{frame_idx} keyframe")
+    else:
+        pipe0 = InferencePipeline(posenet, refiner, refine_iters=0)
+        pipe = InferencePipeline(posenet, refiner,
+                                 refine_iters=args.iterations)
+        for frame_idx in range(len(ds)):
+            wo_poses, it_poses = [], []
+            for sample, _, itemid in ds.detections(frame_idx):
+                batch = collate([sample])
+                load_state(batch)
+                if not sample.valid:
+                    wo_poses.append([0.0] * 7)
+                    it_poses.append([0.0] * 7)
+                    continue
+                inputs = (batch.img, batch.points, batch.choose,
+                          batch.obj_idx)
+                q0, t0, _ = pipe0(state.params_pose, state.params_refine,
+                                  *inputs)
+                q, t, _ = pipe(state.params_pose, state.params_refine,
+                               *inputs)
+                wo_poses.append(np.concatenate(
+                    [np.asarray(q0)[0], np.asarray(t0)[0]]).tolist())
+                it_poses.append(np.concatenate(
+                    [np.asarray(q)[0], np.asarray(t)[0]]).tolist())
+
+            scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
+                         {"poses": wo_poses})
+            scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
+                         {"poses": it_poses})
+            if frame_idx % 100 == 0:
+                logger.info(f"Finish No.{frame_idx} keyframe")
 
     # -- stage 2: toolbox-exact scoring ------------------------------------
     results = score_keyframes(

@@ -29,10 +29,17 @@ class InferencePipeline:
                                  img, points, choose, obj)
     """
 
-    def __init__(self, posenet, refiner=None, refine_iters: int = 0):
+    def __init__(self, posenet, refiner=None, refine_iters: int = 0,
+                 return_unrefined: bool = False):
+        """``return_unrefined=True`` makes calls return
+        ``(q0, t0, q, t, conf)`` — the argmax-confidence hypothesis BEFORE
+        refinement alongside the refined pose — in ONE compiled program, so
+        protocol evals that publish both methods (``tools/eval_ycb.py``'s
+        wo_refine + iterative results) cost one device dispatch."""
         self.posenet = posenet
         self.refiner = refiner
         self.refine_iters = refine_iters
+        self.return_unrefined = return_unrefined
         if refine_iters > 0 and refiner is None:
             raise ValueError("refine_iters > 0 requires a refiner")
         self._jitted = jax.jit(self._infer)
@@ -51,6 +58,8 @@ class InferencePipeline:
         best_conf = take(conf)
 
         if self.refine_iters == 0:
+            if self.return_unrefined:
+                return q0, t0, q0, t0, best_conf
             return q0, t0, best_conf
 
         def body(carry, _):
@@ -69,6 +78,8 @@ class InferencePipeline:
 
         (q, t), _ = jax.lax.scan(body, (q0, t0), None,
                                  length=self.refine_iters)
+        if self.return_unrefined:
+            return q0, t0, q, t, best_conf
         return q, t, best_conf
 
     def __call__(self, pose_params, refine_params, img, points, choose, obj):

@@ -55,6 +55,9 @@ from densefusion_tpu.ops.knn import nearest_neighbor
 EPS = 1e-12  # squared-distance floor: 1 µm distance, zero gradient below
 
 
+from densefusion_tpu.ops.knn import _vma_struct
+
+
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -189,7 +192,8 @@ def _paired_call(act, rt, model_s, target_s, num_m):
             out_specs=pl.BlockSpec((1, 16, n_tile),
                                    lambda b, i, s: (b, 0, i)),
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, 16, n_pad), jnp.float32),
+        out_shape=_vma_struct((bsz, 16, n_pad), jnp.float32,
+                              rt, model_s, target_s),
         cost_estimate=pl.CostEstimate(
             flops=bsz * n_pad * m_pad * 60,
             bytes_accessed=bsz * (16 * n_pad * 2 + m_pad * 16) * 4,
@@ -342,7 +346,8 @@ def _min_call(act, rt_t, model_l, target_l, tsq, model_s, num_m, num_n):
             ],
             out_specs=pl.BlockSpec((1, 8, 16), lambda b, i, s: (b, i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, n_pad, 16), jnp.float32),
+        out_shape=_vma_struct((bsz, n_pad, 16), jnp.float32,
+                              rt_t, model_l, target_l),
         cost_estimate=pl.CostEstimate(
             flops=bsz * n_pad * m_pad * (m_pad * 16 + 40),
             bytes_accessed=bsz * (n_pad * 32 + m_pad * 32) * 4,

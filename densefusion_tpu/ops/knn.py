@@ -29,6 +29,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _vma_struct(shape, dtype, *operands):
+    """``jax.ShapeDtypeStruct`` for a ``pallas_call`` output that declares
+    how the output varies across shard_map mesh axes (jax >= 0.9 checks
+    ``vma`` on every out_shape under ``check_vma=True``): our kernels are
+    elementwise-batched over their operands, so the output varies exactly
+    like the union of the operands' vma sets."""
+    vma = frozenset()
+    for x in operands:
+        v = getattr(jax.typeof(x), "vma", None)
+        if v:
+            vma |= v
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _pad_to(x: jax.Array, size: int, axis: int, value=0.0) -> jax.Array:
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -162,8 +178,8 @@ def nearest_neighbor_pallas(query: jax.Array, ref: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((q_pad, 1), jnp.int32),
+            _vma_struct((q_pad, 1), jnp.float32, query, ref),
+            _vma_struct((q_pad, 1), jnp.int32, query, ref),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q_pad * r_pad * 8 + 2 * q_pad * r_pad,
@@ -269,8 +285,8 @@ def nearest_neighbor_pallas_batched(query: jax.Array, ref: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, 1, q_pad), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, 1, q_pad), jnp.int32),
+            _vma_struct((bsz, 1, q_pad), jnp.float32, query, ref),
+            _vma_struct((bsz, 1, q_pad), jnp.int32, query, ref),
         ],
         cost_estimate=pl.CostEstimate(
             flops=bsz * (2 * q_pad * r_pad * 8 + 2 * q_pad * r_pad),
@@ -409,7 +425,7 @@ def adds_remap_pallas_batched(query: jax.Array, ref: jax.Array,
             out_specs=pl.BlockSpec((1, 8, query_tile),
                                    lambda b, i, s: (b, 0, i)),
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, 8, q_pad), jnp.float32),
+        out_shape=_vma_struct((bsz, 8, q_pad), jnp.float32, query, ref),
         cost_estimate=pl.CostEstimate(
             flops=bsz * (4 * q_pad * r_pad * 8 + 4 * q_pad * r_pad),
             bytes_accessed=bsz * ((q_pad * 8 * 2 + r_pad * 9) * 4),

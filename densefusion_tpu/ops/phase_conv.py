@@ -46,6 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+from densefusion_tpu.ops.knn import _vma_struct
+
+
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -127,7 +130,7 @@ def _conv3x3_pallas_impl(xp: jax.Array, pk: jax.Array) -> jax.Array:
             pl.BlockSpec((9, cin_pad, bcout), lambda j, i, f: (0, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, bf, bcout), lambda j, i, f: (i, f, j)),
-        out_shape=jax.ShapeDtypeStruct((b, f_pad, cout_pad), out_dtype),
+        out_shape=_vma_struct((b, f_pad, cout_pad), out_dtype, xp, pk),
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * f_pad * cin_pad * cout_pad,
             bytes_accessed=(b * l_pad * cin_pad * xp.dtype.itemsize

@@ -134,6 +134,7 @@ def sharded_hypothesis_mean_dist(R: jax.Array, t: jax.Array,
                                  model: jax.Array, target: jax.Array,
                                  sym: jax.Array, mesh: Mesh,
                                  axis: str = "data", *,
+                                 batch_axis: str | None = None,
                                  use_adds: bool = True,
                                  backend: str = "auto") -> jax.Array:
     """Fused ADD(-S) hypothesis distance with the HYPOTHESIS axis sharded.
@@ -148,8 +149,12 @@ def sharded_hypothesis_mean_dist(R: jax.Array, t: jax.Array,
     custom VJP differentiates through the shard_map unchanged.
 
     R (B, N, 3, 3), t (B, N, 3) hypothesis poses; model/target (B, M, 3)
-    and sym (B,) replicated. Any N (zero-padded to the mesh size). Returns
-    dis (B, N), sharded over N on ``axis``.
+    and sym (B,) replicated — or sharded over ``batch_axis`` on a 2-D
+    ``(data, point)`` mesh (SURVEY.md §5.8): batch rides ``batch_axis``
+    while the hypothesis axis rides ``axis``, so a data-parallel train step
+    composes with hypothesis sharding in ONE program. Any N (zero-padded
+    to the mesh size). Returns dis (B, N), sharded over N on ``axis`` (and
+    over B on ``batch_axis`` when given).
     """
     from densefusion_tpu.ops.add_dist import hypothesis_mean_dist
 
@@ -161,11 +166,12 @@ def sharded_hypothesis_mean_dist(R: jax.Array, t: jax.Array,
             [R, jnp.zeros((R.shape[0], pad, 3, 3), R.dtype)], axis=1)
         t = jnp.concatenate(
             [t, jnp.zeros((t.shape[0], pad, 3), t.dtype)], axis=1)
+    ba = batch_axis
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(), P(), P()),
-        out_specs=P(None, axis),
+        in_specs=(P(ba, axis), P(ba, axis), P(ba), P(ba), P(ba)),
+        out_specs=P(ba, axis),
     )
     def inner(R_l, t_l, model_, target_, sym_):
         return hypothesis_mean_dist(R_l, t_l, model_, target_, sym_,

@@ -177,3 +177,63 @@ def test_sharded_hypothesis_mean_dist_matches_single(rng):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gt_), np.asarray(gt_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_2d_mesh_data_point_sharding(rng):
+    """2-D (data, point) mesh (SURVEY.md §5.8): batch sharded over `data`
+    while the hypothesis axis of the fused loss distance and the 1-NN
+    collectives ride `point` — values and gradients match 1-device math."""
+    from densefusion_tpu.geometry import quat_to_matrix, random_quaternion
+    from densefusion_tpu.ops.add_dist import hypothesis_mean_dist_xla
+    from densefusion_tpu.parallel import (
+        sharded_hypothesis_mean_dist, sharded_nearest_neighbor,
+        ring_nearest_neighbor,
+    )
+
+    mesh = make_mesh(8, axis_names=("data", "point"), shape=(4, 2))
+    b, n, m = 4, 13, 11
+    R = quat_to_matrix(random_quaternion(jax.random.key(2), (b, n)))
+    t = jnp.asarray(rng.uniform(-0.3, 0.3, (b, n, 3)), jnp.float32)
+    model = jnp.asarray(rng.uniform(-0.05, 0.05, (b, m, 3)), jnp.float32)
+    target = model @ jnp.swapaxes(
+        quat_to_matrix(random_quaternion(jax.random.key(4), (b,))), -1, -2) \
+        + jnp.asarray(rng.uniform(-0.3, 0.3, (b, 1, 3)), jnp.float32)
+    sym = jnp.asarray([True, False, True, False])
+    wgt = jnp.asarray(rng.uniform(0.2, 1.0, (b, n)), jnp.float32)
+
+    def loss_ref(R_, t_):
+        return jnp.sum(hypothesis_mean_dist_xla(R_, t_, model, target,
+                                                sym, True) * wgt)
+
+    def loss_2d(R_, t_):
+        return jnp.sum(sharded_hypothesis_mean_dist(
+            R_, t_, model, target, sym, mesh, axis="point",
+            batch_axis="data", backend="xla") * wgt)
+
+    want = hypothesis_mean_dist_xla(R, t, model, target, sym, True)
+    got = sharded_hypothesis_mean_dist(R, t, model, target, sym, mesh,
+                                       axis="point", batch_axis="data",
+                                       backend="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+    gR_ref, gt_ref = jax.grad(loss_ref, argnums=(0, 1))(R, t)
+    gR, gt_ = jax.jit(jax.grad(loss_2d, argnums=(0, 1)))(R, t)
+    np.testing.assert_allclose(np.asarray(gR), np.asarray(gR_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_), np.asarray(gt_ref),
+                               rtol=1e-4, atol=1e-6)
+
+    # 1-NN collectives on the `point` axis of the same mesh
+    q = jnp.asarray(rng.standard_normal((33, 3)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((21, 3)), jnp.float32)
+    from densefusion_tpu.ops import nearest_neighbor_xla as nn_xla
+    dw, iw = nn_xla(q, r)
+    d1, i1 = sharded_nearest_neighbor(q, r, mesh, axis="point",
+                                      backend="xla")
+    d2, i2 = ring_nearest_neighbor(q, r, mesh, axis="point", backend="xla")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(iw))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(iw))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(dw), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(dw), rtol=1e-5,
+                               atol=1e-6)
