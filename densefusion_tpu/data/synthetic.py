@@ -51,6 +51,24 @@ def make_asymmetric_model(n_points: int = 4000, scale_mm: float = 50.0,
     return (np.concatenate([pts, bump]) * scale_mm).astype(np.float32)
 
 
+def make_symmetric_model(n_points: int = 4000, scale_mm: float = 50.0,
+                         seed: int = 0) -> np.ndarray:
+    """Rotationally symmetric model (surface of revolution around z, a bumpy
+    vase profile): any rotation about z is in the symmetry orbit, so ADD is
+    ill-defined and ADD-S is the right metric — matching the role of the YCB
+    symmetric classes the sym_list marks (``datasets/ycb/dataset.py:89``).
+    Units mm, centered."""
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(-1.0, 1.0, n_points)
+    theta = rng.uniform(0.0, 2.0 * np.pi, n_points)
+    c = rng.uniform(-0.2, 0.2, 3)
+    r = (0.65 + c[0] * np.cos(np.pi * z) + c[1] * np.cos(2 * np.pi * z)
+         + c[2] * np.sin(np.pi * z))
+    r = np.clip(r, 0.25, 1.0)
+    pts = np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=-1)
+    return (pts * scale_mm).astype(np.float32)
+
+
 def _splat_render(points_cam_mm: np.ndarray, colors: np.ndarray,
                   img_h: int, img_w: int, cam, splat: int = 2):
     """Z-buffered point splatting -> (rgb uint8, depth_mm uint16, mask bool)."""
@@ -289,11 +307,18 @@ def generate_ycb_style_dataset(root: str, n_classes: int = 3,
     cfg_dir = os.path.join(root, "dataset_config")
     os.makedirs(cfg_dir, exist_ok=True)
 
+    from densefusion_tpu.data.ycb import YCB_SYM
+
     classes = [f"{i:03d}_synth_obj" for i in range(1, n_classes + 1)]
     models_mm = {}
     for cid, cls in enumerate(classes, start=1):
         os.makedirs(os.path.join(root, "models", cls), exist_ok=True)
-        m = make_asymmetric_model(2500, scale_mm=55.0, seed=seed + cid)
+        # classes on the YCB sym_list get genuinely rotation-symmetric
+        # geometry so the ADD-S branch trains/scores on real symmetry orbits
+        if (cid - 1) in YCB_SYM:
+            m = make_symmetric_model(2500, scale_mm=55.0, seed=seed + cid)
+        else:
+            m = make_asymmetric_model(2500, scale_mm=55.0, seed=seed + cid)
         models_mm[cid] = m
         np.savetxt(os.path.join(root, "models", cls, "points.xyz"),
                    m / 1000.0, fmt="%.6f")  # meters, like YCB points.xyz
