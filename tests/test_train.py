@@ -108,6 +108,13 @@ def test_refine_phase_epoch_runs(trainer):
 
 
 def test_refine_phase_freezes_posenet(trainer):
+    # self-sufficient phase-2 setup: under pytest-xdist the module's tests
+    # may not share one worker's fixture history, so don't rely on
+    # test_refine_phase_epoch_runs having flipped the curriculum already
+    if not trainer.curriculum.refine_started:
+        trainer.curriculum.refine_started = True
+        trainer._build_data(refine=True)
+        trainer._rebuild_steps(reset_opt=True)
     pose_before = [np.asarray(x).copy()
                    for x in jax.tree.leaves(trainer.state.params_pose)]
     trainer.train_epoch()
