@@ -97,8 +97,16 @@ def main(argv=None):
                            crop_size=args.crop_size)
     # honor the checkpoint's own architecture flags (e.g. the torch
     # importer's decoder="torch" align-corners mode)
-    from densefusion_tpu.train import peek_config
+    from densefusion_tpu.train import peek_config, refiner_is_trained
     ck_cfg = peek_config(args.checkpoint)
+    refiner_trained = refiner_is_trained(args.checkpoint)
+    if args.iterations and not refiner_trained:
+        logger.warning(
+            "checkpoint %s is phase-1 (curriculum refine gate never fired):"
+            " its bundled refiner is UNTRAINED — running 0 refinement"
+            " iterations; 'iterative' results will equal 'per-pixel'",
+            args.checkpoint)
+        args.iterations = 0
     posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
 
@@ -198,6 +206,8 @@ def main(argv=None):
     # convenience top-level keys = the refined method over all gt objects
     summary = {**{k: table["iterative"]["all"][k] for k in
                   ("adds_auc", "add_auc", "adds_under_2cm")},
+               "refine_iterations": args.iterations,
+               "refiner_trained": refiner_trained,
                "methods": table}
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)

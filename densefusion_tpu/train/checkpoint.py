@@ -59,6 +59,23 @@ def peek_config(path: str):
         return RunConfig.from_json(f.read())
 
 
+def refiner_is_trained(path: str) -> bool:
+    """Whether a checkpoint's refiner parameters have ever been trained.
+
+    Phase-1 checkpoints bundle a freshly-initialized (random) refiner;
+    applying it at eval time silently DESTROYS the pose estimate, a failure
+    mode the reference cannot have (it loads the refiner from a separate
+    ``--refine_model`` file or not at all, ``tools/eval_ycb.py:92-100``).
+    Eval entry points use this to clamp refinement iterations to 0 with a
+    warning. Checkpoints without a curriculum sidecar (e.g. torch imports
+    that predate it) are assumed trained.
+    """
+    try:
+        return bool(peek_curriculum(path).refine_started)
+    except (FileNotFoundError, KeyError, ValueError):
+        return True
+
+
 def peek_curriculum(path: str) -> Curriculum:
     """Read a checkpoint's curriculum without touching the array state —
     used to build a phase-matching optimizer/template before loading."""

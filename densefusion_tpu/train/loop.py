@@ -260,3 +260,8 @@ class Trainer:
                 self.logger.info("refinement phase started")
 
             cur.epoch += 1
+            # end-of-epoch resume point: the in-epoch cadence
+            # (checkpoint_every_steps) never fires when an epoch has fewer
+            # steps than the cadence, which would leave no resumable
+            # checkpoint at all on small datasets
+            self._save("current")

@@ -75,3 +75,24 @@ def test_grad_accum_checkpoint_roundtrip(base, tmp_path):
     for a, b in zip(jax.tree.leaves(ms_state.opt_state),
                     jax.tree.leaves(loaded.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_refiner_is_trained_flag(tmp_path):
+    """Phase-1 checkpoints report an untrained refiner; phase-2 and
+    curriculum-less (e.g. old torch-import) checkpoints report trained."""
+    import json
+    import os
+    from densefusion_tpu.train import refiner_is_trained
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    with open(ck / "curriculum.json", "w") as f:
+        json.dump(Curriculum().to_dict(), f)
+    assert refiner_is_trained(str(ck)) is False
+
+    with open(ck / "curriculum.json", "w") as f:
+        json.dump(Curriculum(refine_started=True).to_dict(), f)
+    assert refiner_is_trained(str(ck)) is True
+
+    os.remove(ck / "curriculum.json")
+    assert refiner_is_trained(str(ck)) is True

@@ -34,7 +34,10 @@ def test_eval_ycb_cli(tmp_path):
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                sample)
     ckpt = str(tmp_path / "ckpt")
-    save_checkpoint(ckpt, state, Curriculum(), cfg)
+    # refine_started=True so the eval applies the bundled refiner (a
+    # phase-1 checkpoint would be clamped to 0 iterations by the
+    # untrained-refiner guard — tested separately below)
+    save_checkpoint(ckpt, state, Curriculum(refine_started=True), cfg)
 
     out_dir = str(tmp_path / "eval_out")
     summary = eval_ycb_cli.main([
@@ -73,3 +76,22 @@ def test_eval_ycb_cli(tmp_path):
                 rtol=1e-5, atol=1e-6,
                 err_msg=f"{method}/{frame}: frame-batched dispatch diverged "
                         f"from the per-detection loop")
+
+    # untrained-refiner guard: a phase-1 checkpoint bundles a random-init
+    # refiner; eval must clamp to 0 iterations (iterative == per-pixel)
+    # instead of silently destroying the pose with it
+    ckpt1 = str(tmp_path / "ckpt_phase1")
+    save_checkpoint(ckpt1, state, Curriculum(), cfg)
+    out_dir3 = str(tmp_path / "eval_out_phase1")
+    summary3 = eval_ycb_cli.main([
+        "--dataset_root", root, "--posecnn_results", posecnn,
+        "--checkpoint", ckpt1, "--num_points", "64", "--crop_size", "64",
+        "--num_keyframes", "1", "--output_dir", out_dir3,
+    ])
+    assert summary3["refiner_trained"] is False
+    assert summary3["refine_iterations"] == 0
+    a = scio.loadmat(os.path.join(
+        out_dir3, "Densefusion_wo_refine_result", "0000.mat"))["poses"]
+    b = scio.loadmat(os.path.join(
+        out_dir3, "Densefusion_iterative_result", "0000.mat"))["poses"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -33,7 +33,10 @@ def estimator(tmp_path_factory):
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                batch)
     ckpt = str(tmp_path_factory.mktemp("ck") / "ckpt")
-    save_checkpoint(ckpt, state, Curriculum(), cfg)
+    # refine_started=True: the fixture exercises the 2-iteration path (a
+    # phase-1 checkpoint would be clamped to 0 by the untrained-refiner
+    # guard, tested in test_from_checkpoint_untrained_refiner_guard)
+    save_checkpoint(ckpt, state, Curriculum(refine_started=True), cfg)
     est = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
                                         crop_size=64, refine_iters=2)
     return est, root
@@ -133,6 +136,29 @@ def test_from_checkpoint_refine_phase(tmp_path, estimator):
     assert out is not None
     q, t, c = out
     np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-4)
+
+
+def test_from_checkpoint_untrained_refiner_guard(tmp_path, estimator):
+    """A phase-1 checkpoint bundles a random-init refiner; serving must
+    clamp to 0 refinement iterations (with a warning) instead of applying
+    it."""
+    import warnings as _warnings
+    est, root = estimator
+    ds = LineModDataset(root, "train", num_points=64, crop_size=64,
+                        num_mesh_points=64, objlist=[1], add_noise=False)
+    batch = collate([ds[0]])
+    posenet, refiner = PoseNet(num_obj=1), PoseRefineNet(num_obj=1)
+    cfg = RunConfig(num_objects=1, num_points=64, crop_size=64)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(1),
+                               batch)
+    ckpt = str(tmp_path / "phase1_ck")
+    save_checkpoint(ckpt, state, Curriculum(), cfg)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        est2 = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
+                                             crop_size=64, refine_iters=2)
+    assert any("untrained" in str(w.message) for w in rec)
+    assert est2.pipeline.refine_iters == 0
 
 
 def test_estimate_batch_mesh_sharded(estimator):
