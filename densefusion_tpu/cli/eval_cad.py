@@ -60,13 +60,11 @@ def main(argv=None):
     num_obj = len(ds.objlist)
     cfg = RunConfig.preset("cad", num_points=args.num_points,
                            crop_size=args.crop_size)
-    from densefusion_tpu.train import peek_config, refiner_is_trained
+    from densefusion_tpu.train import peek_config
+    from densefusion_tpu.train.checkpoint import clamp_refine_iters
     ck_cfg = peek_config(args.checkpoint)
-    if args.iterations and not refiner_is_trained(args.checkpoint):
-        logger.warning(
-            "checkpoint %s is phase-1: its bundled refiner is UNTRAINED — "
-            "running 0 refinement iterations", args.checkpoint)
-        args.iterations = 0
+    args.iterations = clamp_refine_iters(args.checkpoint, args.iterations,
+                                         logger)
     posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
     sample = next(iter(loader.epoch(0)))

@@ -97,16 +97,14 @@ def main(argv=None):
                            crop_size=args.crop_size)
     # honor the checkpoint's own architecture flags (e.g. the torch
     # importer's decoder="torch" align-corners mode)
-    from densefusion_tpu.train import peek_config, refiner_is_trained
+    from densefusion_tpu.train import peek_config
+    from densefusion_tpu.train.checkpoint import (
+        clamp_refine_iters, refiner_is_trained,
+    )
     ck_cfg = peek_config(args.checkpoint)
     refiner_trained = refiner_is_trained(args.checkpoint)
-    if args.iterations and not refiner_trained:
-        logger.warning(
-            "checkpoint %s is phase-1 (curriculum refine gate never fired):"
-            " its bundled refiner is UNTRAINED — running 0 refinement"
-            " iterations; 'iterative' results will equal 'per-pixel'",
-            args.checkpoint)
-        args.iterations = 0
+    args.iterations = clamp_refine_iters(args.checkpoint, args.iterations,
+                                         logger)
     posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
 
@@ -163,8 +161,10 @@ def main(argv=None):
                 logger.info(f"Finish No.{frame_idx} keyframe")
     else:
         pipe0 = InferencePipeline(posenet, refiner, refine_iters=0)
-        pipe = InferencePipeline(posenet, refiner,
-                                 refine_iters=args.iterations)
+        # with 0 iterations the two programs are identical — compile and
+        # dispatch once, publish the same poses under both methods
+        pipe = pipe0 if args.iterations == 0 else InferencePipeline(
+            posenet, refiner, refine_iters=args.iterations)
         for frame_idx in range(len(ds)):
             wo_poses, it_poses = [], []
             for sample, _, itemid in ds.detections(frame_idx):
@@ -178,12 +178,15 @@ def main(argv=None):
                           batch.obj_idx)
                 q0, t0, _ = pipe0(state.params_pose, state.params_refine,
                                   *inputs)
-                q, t, _ = pipe(state.params_pose, state.params_refine,
-                               *inputs)
                 wo_poses.append(np.concatenate(
                     [np.asarray(q0)[0], np.asarray(t0)[0]]).tolist())
-                it_poses.append(np.concatenate(
-                    [np.asarray(q)[0], np.asarray(t)[0]]).tolist())
+                if pipe is pipe0:
+                    it_poses.append(wo_poses[-1])
+                else:
+                    q, t, _ = pipe(state.params_pose, state.params_refine,
+                                   *inputs)
+                    it_poses.append(np.concatenate(
+                        [np.asarray(q)[0], np.asarray(t)[0]]).tolist())
 
             scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
                          {"poses": wo_poses})

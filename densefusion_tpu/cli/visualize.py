@@ -116,7 +116,9 @@ def main(argv=None):
     cfg = RunConfig.preset(args.dataset, num_points=num_points,
                            crop_size=args.crop_size, num_objects=num_obj)
     from densefusion_tpu.train import peek_config
+    from densefusion_tpu.train.checkpoint import clamp_refine_iters
     ck_cfg = peek_config(args.checkpoint)
+    args.iterations = clamp_refine_iters(args.checkpoint, args.iterations)
     posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
     batch = collate(samples)

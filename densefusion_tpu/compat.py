@@ -330,6 +330,10 @@ def import_torch_checkpoint(pose_pth: str, out_path: str, num_obj: int,
                                       num_obj)))
         cur.refine_started = True
         cur.decay_started = True
+        # the imported .pth refiner IS trained (it's the reference's
+        # published artifact); mark it so eval's untrained-refiner guard
+        # (checkpoint.refiner_is_trained) doesn't clamp refinement
+        cur.refine_steps = 1
     save_checkpoint(out_path, state, cur, cfg)
 
 

@@ -47,13 +47,8 @@ def export_inference(ckpt_path: str, batch: int,
 
     with open(os.path.join(ckpt_path, "config.json")) as f:
         cfg = RunConfig(**json.load(f))
-    from densefusion_tpu.train.checkpoint import refiner_is_trained
-    if refine_iters and not refiner_is_trained(ckpt_path):
-        import warnings
-        warnings.warn(
-            f"checkpoint {ckpt_path!r} is phase-1: its bundled refiner is "
-            "untrained — exporting with 0 refinement iterations")
-        refine_iters = 0
+    from densefusion_tpu.train.checkpoint import clamp_refine_iters
+    refine_iters = clamp_refine_iters(ckpt_path, refine_iters)
     dtype = jnp.bfloat16 if bf16 else None
     posenet = PoseNet(num_obj=cfg.num_objects, dtype=dtype,
                       **cfg.decoder_flags())

@@ -72,13 +72,8 @@ class PoseEstimator:
         from densefusion_tpu.train.checkpoint import peek_config
 
         dtype = jnp.bfloat16 if bf16 else None
-        from densefusion_tpu.train.checkpoint import refiner_is_trained
-        if refine_iters and not refiner_is_trained(path):
-            import warnings
-            warnings.warn(
-                f"checkpoint {path!r} is phase-1: its bundled refiner is "
-                "untrained — serving with 0 refinement iterations")
-            refine_iters = 0
+        from densefusion_tpu.train.checkpoint import clamp_refine_iters
+        refine_iters = clamp_refine_iters(path, refine_iters)
         ck_cfg = peek_config(path)
         flags = ck_cfg.decoder_flags() if ck_cfg is not None else {}
         posenet = PoseNet(num_obj=num_obj, dtype=dtype, **flags)

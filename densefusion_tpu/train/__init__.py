@@ -14,12 +14,13 @@ from densefusion_tpu.train.steps import (
 )
 from densefusion_tpu.train.checkpoint import (
     save_checkpoint, load_checkpoint, peek_config, refiner_is_trained,
+    clamp_refine_iters,
 )
 from densefusion_tpu.train.loop import Trainer
 
 __all__ = [
     "TrainState", "Curriculum", "create_train_state",
     "make_pose_train_step", "make_refine_train_step", "make_eval_step",
-    "peek_config", "refiner_is_trained",
+    "peek_config", "refiner_is_trained", "clamp_refine_iters",
     "save_checkpoint", "load_checkpoint", "Trainer",
 ]

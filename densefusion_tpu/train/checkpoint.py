@@ -66,14 +66,43 @@ def refiner_is_trained(path: str) -> bool:
     applying it at eval time silently DESTROYS the pose estimate, a failure
     mode the reference cannot have (it loads the refiner from a separate
     ``--refine_model`` file or not at all, ``tools/eval_ycb.py:92-100``).
-    Eval entry points use this to clamp refinement iterations to 0 with a
-    warning. Checkpoints without a curriculum sidecar (e.g. torch imports
-    that predate it) are assumed trained.
+    Eval entry points use :func:`clamp_refine_iters` (built on this) to
+    drop refinement with a warning. A checkpoint saved on the very epoch
+    the refine gate flipped has ``refine_started=True`` but
+    ``refine_steps == 0`` — still untrained. Checkpoints without a
+    curriculum sidecar, or with one this version cannot parse (e.g. old
+    torch imports / newer formats), are assumed trained.
     """
     try:
-        return bool(peek_curriculum(path).refine_started)
-    except (FileNotFoundError, KeyError, ValueError):
+        with open(os.path.join(path, "curriculum.json")) as f:
+            d = json.load(f)
+        if not isinstance(d, dict):
+            return True  # unparseable sidecar: same fallback as below
+        if not d.get("refine_started", False):
+            return False
+        # absent refine_steps = checkpoint predates the counter: assume
+        # trained (phase-2 checkpoints of older versions were only written
+        # after >= checkpoint_every_steps refine steps)
+        return bool(d.get("refine_steps", 1))
+    except (FileNotFoundError, ValueError, TypeError):
         return True
+
+
+def clamp_refine_iters(path: str, iterations: int, logger=None) -> int:
+    """Shared untrained-refiner guard for every checkpoint-consuming entry
+    point: returns ``iterations`` unchanged when the checkpoint's refiner
+    has been trained, else warns and returns 0."""
+    if iterations and not refiner_is_trained(path):
+        msg = (f"checkpoint {path!r} is phase-1 (curriculum refine gate "
+               "never fired or no refine step has run): its bundled "
+               "refiner is UNTRAINED — running 0 refinement iterations")
+        if logger is not None:
+            logger.warning(msg)
+        else:
+            import warnings
+            warnings.warn(msg)
+        return 0
+    return iterations
 
 
 def peek_curriculum(path: str) -> Curriculum:

@@ -171,6 +171,8 @@ class Trainer:
                     self.state, self.shard_batch(batch),
                     np.float32(cur.w))
                 cur.batch_in_epoch += 1
+                if cur.refine_started:
+                    cur.refine_steps += 1
                 dis_sum = m["dis"] if dis_sum is None else dis_sum + m["dis"]
                 count += 1
                 if count % 50 == 0:

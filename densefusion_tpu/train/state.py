@@ -40,13 +40,20 @@ class Curriculum:
     w: float = 0.015
     decay_started: bool = False
     refine_started: bool = False
+    # phase-2 train steps taken so far; distinguishes "gate just flipped,
+    # refiner still random-init" checkpoints (refine_started=True,
+    # refine_steps=0) from genuinely trained refiners — see
+    # checkpoint.refiner_is_trained
+    refine_steps: int = 0
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
 
     @classmethod
     def from_dict(cls, d: dict) -> "Curriculum":
-        return cls(**d)
+        # tolerate unknown keys (checkpoints written by newer versions)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
 
 def make_optimizer(lr: float) -> optax.GradientTransformation:

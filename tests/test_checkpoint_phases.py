@@ -78,21 +78,57 @@ def test_grad_accum_checkpoint_roundtrip(base, tmp_path):
 
 
 def test_refiner_is_trained_flag(tmp_path):
-    """Phase-1 checkpoints report an untrained refiner; phase-2 and
-    curriculum-less (e.g. old torch-import) checkpoints report trained."""
+    """Phase-1 checkpoints report an untrained refiner; so do checkpoints
+    saved on the very epoch the gate flipped (refine_steps == 0). Phase-2
+    with steps, curriculum-less (old torch-import), and unparseable
+    sidecars report trained."""
     import json
     import os
-    from densefusion_tpu.train import refiner_is_trained
+    from densefusion_tpu.train import refiner_is_trained, clamp_refine_iters
 
     ck = tmp_path / "ck"
     ck.mkdir()
     with open(ck / "curriculum.json", "w") as f:
         json.dump(Curriculum().to_dict(), f)
     assert refiner_is_trained(str(ck)) is False
+    assert clamp_refine_iters(str(ck), 2) == 0
+    assert clamp_refine_iters(str(ck), 0) == 0
 
+    # gate flipped this epoch, no refine step has run yet -> untrained
     with open(ck / "curriculum.json", "w") as f:
         json.dump(Curriculum(refine_started=True).to_dict(), f)
+    assert refiner_is_trained(str(ck)) is False
+
+    with open(ck / "curriculum.json", "w") as f:
+        json.dump(Curriculum(refine_started=True, refine_steps=7).to_dict(),
+                  f)
+    assert refiner_is_trained(str(ck)) is True
+    assert clamp_refine_iters(str(ck), 2) == 2
+
+    # pre-refine_steps checkpoint (older version): assume trained
+    d = Curriculum(refine_started=True).to_dict()
+    del d["refine_steps"]
+    with open(ck / "curriculum.json", "w") as f:
+        json.dump(d, f)
+    assert refiner_is_trained(str(ck)) is True
+
+    # unknown extra key must not crash the guard (newer-version sidecar)
+    d["future_field"] = 1
+    with open(ck / "curriculum.json", "w") as f:
+        json.dump(d, f)
+    assert refiner_is_trained(str(ck)) is True
+
+    # non-dict / unparseable sidecar: fall back to trained, don't crash
+    with open(ck / "curriculum.json", "w") as f:
+        f.write("[1, 2]")
     assert refiner_is_trained(str(ck)) is True
 
     os.remove(ck / "curriculum.json")
     assert refiner_is_trained(str(ck)) is True
+
+
+def test_curriculum_from_dict_tolerates_unknown_keys():
+    d = Curriculum(refine_started=True).to_dict()
+    d["added_by_a_newer_version"] = 3
+    cur = Curriculum.from_dict(d)
+    assert cur.refine_started is True

@@ -37,7 +37,7 @@ def test_eval_ycb_cli(tmp_path):
     # refine_started=True so the eval applies the bundled refiner (a
     # phase-1 checkpoint would be clamped to 0 iterations by the
     # untrained-refiner guard — tested separately below)
-    save_checkpoint(ckpt, state, Curriculum(refine_started=True), cfg)
+    save_checkpoint(ckpt, state, Curriculum(refine_started=True, refine_steps=1), cfg)
 
     out_dir = str(tmp_path / "eval_out")
     summary = eval_ycb_cli.main([

@@ -36,7 +36,7 @@ def estimator(tmp_path_factory):
     # refine_started=True: the fixture exercises the 2-iteration path (a
     # phase-1 checkpoint would be clamped to 0 by the untrained-refiner
     # guard, tested in test_from_checkpoint_untrained_refiner_guard)
-    save_checkpoint(ckpt, state, Curriculum(refine_started=True), cfg)
+    save_checkpoint(ckpt, state, Curriculum(refine_started=True, refine_steps=1), cfg)
     est = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
                                         crop_size=64, refine_iters=2)
     return est, root
@@ -125,7 +125,7 @@ def test_from_checkpoint_refine_phase(tmp_path, estimator):
     tx = make_optimizer(cfg.lr)
     state = state.replace(opt_state=tx.init(state.params_refine))
     ckpt = str(tmp_path / "refine_ck")
-    save_checkpoint(ckpt, state, Curriculum(refine_started=True), cfg)
+    save_checkpoint(ckpt, state, Curriculum(refine_started=True, refine_steps=1), cfg)
     est2 = PoseEstimator.from_checkpoint(ckpt, num_obj=1, num_points=64,
                                          crop_size=64, refine_iters=2)
     base = os.path.join(root, "data", "01")
