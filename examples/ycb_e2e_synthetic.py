@@ -52,6 +52,8 @@ def main(argv=None):
     p.add_argument("--root", default="",
                    help="dataset/work directory (default: fresh tempdir)")
     p.add_argument("--out", default="", help="write the summary JSON here")
+    p.add_argument("--bf16", action="store_true",
+                   help="train with bf16 compute (f32 master params)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes/budget wiring check")
@@ -85,7 +87,7 @@ def main(argv=None):
             seed=args.seed, posecnn_dir=posecnn)
     t_gen = time.time() - t0
 
-    train_cli.main([
+    train_cli.main((["--bf16"] if args.bf16 else []) + [
         "--dataset", "ycb", "--dataset_root", root,
         "--batch_size", str(args.batch), "--workers", str(args.workers),
         "--nepoch", str(args.nepoch), "--repeat_epoch", str(args.repeat),
