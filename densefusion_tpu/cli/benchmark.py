@@ -402,6 +402,8 @@ def main(argv=None):
                    help="capture a jax.profiler trace (XProf/TensorBoard) "
                         "of the benchmarked region")
     args = p.parse_args(argv)
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     from densefusion_tpu.utils.profiling import trace_context
     results = {}
     with trace_context(args.trace_dir):

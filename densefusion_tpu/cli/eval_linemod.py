@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import numpy as np
     import jax
 

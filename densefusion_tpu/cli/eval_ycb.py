@@ -66,6 +66,8 @@ def _bucket(n: int) -> int:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import numpy as np
     import jax
     import scipy.io as scio

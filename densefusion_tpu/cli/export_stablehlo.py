@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     from densefusion_tpu.export import export_inference
 
     if not os.path.isdir(args.checkpoint):

@@ -39,6 +39,8 @@ def main(argv=None):
                         "basename stem matches an id (as-is or %%04d) are "
                         "segmented")
     args = p.parse_args(argv)
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
 
     import numpy as np
     import jax

@@ -71,6 +71,8 @@ def _paint(img, rows, cols, color):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import numpy as np
     import jax
     from PIL import Image
