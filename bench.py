@@ -270,6 +270,9 @@ def main():
     import jax.numpy as jnp
 
     _ensure_backend()
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.eval import InferencePipeline
 
