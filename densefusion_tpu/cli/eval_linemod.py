@@ -80,38 +80,79 @@ def main(argv=None):
                                sample)
     state, _, _ = load_checkpoint(args.checkpoint, state,
                                   restore_opt=False)
-    pipe = InferencePipeline(posenet, refiner, refine_iters=args.iterations)
+    # return_unrefined=True: the argmax-confidence hypothesis BEFORE
+    # refinement and the refined pose come out of ONE compiled dispatch, so
+    # the per-pixel vs iterative split the paper's table publishes
+    # (README.md:166-172) costs nothing extra.
+    pipe = InferencePipeline(posenet, refiner, refine_iters=args.iterations,
+                             return_unrefined=True)
 
-    dist_fn = jax.jit(lambda m, q, t, tgt, sym: pose_distances(
-        m, q, t, tgt, sym))
+    dist_fn = jax.jit(lambda m, q0, t0, q, t, tgt, sym: (
+        pose_distances(m, q0, t0, tgt, sym),
+        pose_distances(m, q, t, tgt, sym)))
 
-    success = np.zeros(num_obj)
+    success0 = np.zeros(num_obj)  # per-pixel (no refinement)
+    success = np.zeros(num_obj)   # iterative (refined)
     counts = np.zeros(num_obj)
+    dist_sum0 = np.zeros(num_obj)
+    dist_sum = np.zeros(num_obj)
+    lost = 0
     frame = 0
     for batch in loader.epoch(0):
-        quat, trans, _conf = pipe(state.params_pose, state.params_refine,
-                                  batch.img, batch.points, batch.choose,
-                                  batch.obj_idx)
-        dis = np.asarray(dist_fn(batch.model_points, quat, trans,
-                                 batch.target, batch.sym))
+        q0, t0, quat, trans, _conf = pipe(
+            state.params_pose, state.params_refine,
+            batch.img, batch.points, batch.choose, batch.obj_idx)
+        dis0, dis = (np.asarray(d) for d in dist_fn(
+            batch.model_points, q0, t0, quat, trans,
+            batch.target, batch.sym))
         for b in range(len(dis)):
             if not batch.valid[b]:
                 logger.info(f"No.{frame} NOT Pass! Lost detection!")
+                lost += 1
                 frame += 1
                 continue
             o = int(batch.obj_idx[b])
             ok = dis[b] < diameters[o]
+            success0[o] += dis0[b] < diameters[o]
             success[o] += ok
+            dist_sum0[o] += dis0[b]
+            dist_sum[o] += dis[b]
             counts[o] += 1
             logger.info(f"No.{frame} {'Pass!' if ok else 'NOT Pass!'} "
                         f"Distance: {dis[b]:.6f}")
             frame += 1
 
+    per_object = []
     for i, obj in enumerate(ds.objlist):
-        rate = success[i] / counts[i] if counts[i] else float("nan")
-        logger.info(f"Object {obj} success rate: {rate}")
-    total = success.sum() / max(counts.sum(), 1)
-    logger.info(f"ALL success rate: {total}")
+        n = counts[i]
+        rate0 = success0[i] / n if n else float("nan")
+        rate = success[i] / n if n else float("nan")
+        logger.info(f"Object {obj} success rate: {rate} "
+                    f"(per-pixel: {rate0})")
+        per_object.append({
+            "obj": int(obj),
+            "count": int(n),
+            "threshold_m": float(diameters[i]),
+            "rate_per_pixel": float(rate0) if n else None,
+            "rate_refined": float(rate) if n else None,
+            "mean_dist_per_pixel": float(dist_sum0[i] / n) if n else None,
+            "mean_dist_refined": float(dist_sum[i] / n) if n else None,
+        })
+    n_all = max(counts.sum(), 1)
+    total0 = success0.sum() / n_all
+    total = success.sum() / n_all
+    logger.info(f"ALL success rate: {total} (per-pixel: {total0}, "
+                f"lost detections: {lost})")
+    result = {
+        "rate_per_pixel": float(total0),
+        "rate_refined": float(total),
+        "lost_detections": int(lost),
+        "iterations": int(args.iterations),
+        "per_object": per_object,
+    }
+    import json
+    with open(os.path.join(args.output_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=2)
     return total
 
 

@@ -92,16 +92,14 @@ def main(argv=None):
         losses = []
         for batch in PrefetchIterator(train_loader.epoch(epoch)):
             state, loss = train_step(state, batch.rgb, batch.label)
-            losses.append(float(loss))
-        test_losses, accs, ious = [], [], []
+            losses.append(loss)  # device scalar; sync once per epoch
+        test_metrics = []
         for batch in PrefetchIterator(test_loader.epoch(0)):
-            loss, acc, fg_iou = eval_step(state.params, state.batch_stats,
-                                          batch.rgb, batch.label)
-            test_losses.append(float(loss))
-            accs.append(float(acc))
-            ious.append(float(fg_iou))
-        tr, te = np.mean(losses), np.mean(test_losses)
-        acc, iou = np.mean(accs), np.mean(ious)
+            test_metrics.append(eval_step(state.params, state.batch_stats,
+                                          batch.rgb, batch.label))
+        tr = float(np.mean(jax.device_get(losses))) if losses else np.nan
+        te, acc, iou = (float(np.mean(col)) for col in
+                        zip(*jax.device_get(test_metrics)))
         logger.info(f"epoch {epoch} train {tr:.4f} test {te:.4f} "
                     f"pix-acc {acc:.4f} fg-iou {iou:.4f}")
         metrics.write(kind="seg_epoch", epoch=epoch, train_loss=tr,

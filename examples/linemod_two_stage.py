@@ -153,6 +153,8 @@ def main(argv=None):
         "--num_points", str(args.points), "--crop_size", str(args.crop),
         "--output_dir", os.path.join(work, "eval_out"),
     ])
+    with open(os.path.join(work, "eval_out", "result.json")) as f:
+        eval_detail = json.load(f)
 
     n_masks = sum(
         len(glob.glob(os.path.join(sr, f"{o:02d}_label", "*.png")))
@@ -163,6 +165,7 @@ def main(argv=None):
         "checkpoint": os.path.basename(ckpt),
         "predicted_masks": n_masks,
         "success_rate_0.1d": float(success),
+        "eval": eval_detail,
         "gen_seconds": t_gen,
         "seg_seconds": t_seg,
         "mask_seconds": t_masks,
