@@ -45,9 +45,18 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
         os.makedirs(path, exist_ok=True)
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", path)
-        # Big programs only: sub-second compiles aren't worth the disk/IO.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        prior = jax.config.jax_compilation_cache_dir
+        try:
+            jax.config.update("jax_compilation_cache_dir", path)
+            # Big programs only: sub-second compiles aren't worth the disk/IO.
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception:
+            # Leave no half-enabled state behind: if the second update fails
+            # after the dir was already set, restore the prior dir so the
+            # "disabled" return value is actually true.
+            jax.config.update("jax_compilation_cache_dir", prior)
+            raise
     except Exception as e:  # noqa: BLE001 — best-effort by contract
         import warnings
 

@@ -5,6 +5,10 @@ import os
 
 # Must run before jax initializes its backends.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic CI: in-process CLI main() calls enable the persistent compilation
+# cache; keep test runs from writing to the user's real ~/.cache unless the
+# test itself overrides these (test_compile_cache uses tmp dirs).
+os.environ.setdefault("DF_JAX_CACHE", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
