@@ -22,11 +22,16 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint", default=None,
                    help="framework checkpoint directory")
-    p.add_argument("--pose_out", required=True, help="output PoseNet .pth")
+    p.add_argument("--pose_out", default=None, help="output PoseNet .pth")
     p.add_argument("--refine_out", default=None,
                    help="output PoseRefineNet .pth (optional)")
+    p.add_argument("--segnet_ckpt", default=None,
+                   help="segnet_best.msgpack from cli.train_seg")
+    p.add_argument("--segnet_out", default=None, help="output SegNet .pth")
+    p.add_argument("--num_classes", type=int, default=22,
+                   help="SegNet class count (for --segnet_ckpt)")
     p.add_argument("--variant", default="resnet18")
     return p
 
@@ -35,6 +40,19 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     import os
 
+    if args.segnet_ckpt is not None:
+        from densefusion_tpu.compat import export_segnet_checkpoint
+
+        if args.segnet_out is None:
+            raise SystemExit("error: --segnet_ckpt requires --segnet_out")
+        export_segnet_checkpoint(args.segnet_ckpt, args.segnet_out,
+                                 num_classes=args.num_classes)
+        print(f"exported -> {args.segnet_out} "
+              f"(segnet, num_classes={args.num_classes})")
+        return
+    if args.checkpoint is None or args.pose_out is None:
+        raise SystemExit("error: --checkpoint and --pose_out are required "
+                         "(or use --segnet_ckpt/--segnet_out)")
     from densefusion_tpu.compat import export_torch_checkpoint
 
     if not os.path.isdir(args.checkpoint):

@@ -200,19 +200,19 @@ def _detect_cnn_prefix(sd: dict) -> str:
                      "(expected cnn.model.module.feats.*)")
 
 
-def _fill(template: dict, mapping: dict, sd: dict,
-          ignore_prefixes: tuple[str, ...] = ()) -> tuple[dict, set]:
-    """Fill a flax ``{"params": ...}`` tree from ``sd`` via ``mapping``.
+def _fill_tree(tree: dict, mapping: dict, sd: dict) -> tuple[dict, set]:
+    """Fill one flax collection tree from ``sd`` via ``mapping``.
 
-    Every leaf in the template must be mapped and shape-matched; returns the
-    filled tree and the set of consumed torch keys.
+    Every leaf in the tree must be mapped and shape-matched; returns the
+    filled tree and the set of consumed torch keys (no leftover check —
+    callers validate leftovers across all collections).
     """
     import jax
 
     consumed: set[str] = set()
 
-    flat = jax.tree_util.tree_flatten_with_path(template["params"])[0]
-    out = template["params"]
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = tree
 
     def set_in(tree, path, value):
         if len(path) == 1:
@@ -234,11 +234,26 @@ def _fill(template: dict, mapping: dict, sd: dict,
                 f"torch gives {value.shape}, flax expects {np.shape(leaf)}")
         out = set_in(out, path, value)
         consumed.add(torch_key)
+    return out, consumed
 
+
+def _check_leftovers(sd: dict, consumed: set,
+                     ignore_prefixes: tuple[str, ...] = ()) -> None:
     leftovers = [k for k in sd if k not in consumed
                  and not any(k.startswith(p) for p in ignore_prefixes)]
     if leftovers:
         raise ValueError(f"unconsumed torch keys (first 10): {leftovers[:10]}")
+
+
+def _fill(template: dict, mapping: dict, sd: dict,
+          ignore_prefixes: tuple[str, ...] = ()) -> tuple[dict, set]:
+    """Fill a flax ``{"params": ...}`` tree from ``sd`` via ``mapping``.
+
+    Every leaf in the template must be mapped and shape-matched; returns the
+    filled tree and the set of consumed torch keys.
+    """
+    out, consumed = _fill_tree(template["params"], mapping, sd)
+    _check_leftovers(sd, consumed, ignore_prefixes)
     return {"params": out}, consumed
 
 
@@ -376,6 +391,120 @@ def refiner_state_dict_from_params(params: dict) -> dict:
     (``lib/network.py:170-206`` names)."""
     mapping = {**_fusion_map("feat."), **_refiner_head_map()}
     return _export(params, mapping)
+
+
+# ---------------------------------------------------------------------------
+# SegNet (vanilla_segmentation/segnet.py:6-121)
+# ---------------------------------------------------------------------------
+
+_SEGNET_ENC_COUNTS = (2, 2, 3, 3, 3)  # conv layers per VGG16 pooling stage
+
+
+def _segnet_maps() -> tuple[dict, dict]:
+    """(params mapping, batch_stats mapping) for :class:`SegNet`.
+
+    Torch names per ``vanilla_segmentation/segnet.py:12-71``: encoder
+    ``conv{s}{i}``/``bn{s}{i}``, decoder ``conv{s}{i}d``/``bn{s}{i}d`` applied
+    in DESCENDING ``i`` order per stage (``:100-117``), and the final
+    ``conv11d`` classifier (no BN, ``:71,119``).
+    """
+    pmap: dict = {}
+    smap: dict = {}
+
+    def add(flax_name: str, conv: str, bn: str) -> None:
+        pmap[(flax_name, "conv", "kernel")] = (conv + ".weight", _conv2d)
+        pmap[(flax_name, "conv", "bias")] = (conv + ".bias", _bias)
+        pmap[(flax_name, "bn", "scale")] = (bn + ".weight", _bias)
+        pmap[(flax_name, "bn", "bias")] = (bn + ".bias", _bias)
+        smap[(flax_name, "bn", "mean")] = (bn + ".running_mean", _bias)
+        smap[(flax_name, "bn", "var")] = (bn + ".running_var", _bias)
+
+    for s, n in enumerate(_SEGNET_ENC_COUNTS, start=1):
+        for i in range(1, n + 1):
+            add(f"enc{s}_{i}", f"conv{s}{i}", f"bn{s}{i}")
+    for s in range(1, 6):               # our decoder stage (full-res last)
+        t = 6 - s                       # torch stage number
+        n = _SEGNET_ENC_COUNTS[t - 1]
+        dec_n = n if t > 1 else n - 1   # stage-1's last conv is the classifier
+        for i in range(1, dec_n + 1):
+            j = n - i + 1               # torch indexes decode convs descending
+            add(f"dec{s}_{i}", f"conv{t}{j}d", f"bn{t}{j}d")
+    pmap[("classifier", "kernel")] = ("conv11d.weight", _conv2d)
+    pmap[("classifier", "bias")] = ("conv11d.bias", _bias)
+    return pmap, smap
+
+
+def segnet_variables_from_torch(sd: dict, num_classes: int = 22) -> dict:
+    """Convert a reference ``SegNet.state_dict()`` into flax variables
+    (``{"params": ..., "batch_stats": ...}``) for
+    :class:`densefusion_tpu.models.SegNet` — the dict ``cli.segment`` and the
+    seg trainer's ``segnet_best.msgpack`` consume.
+
+    ``num_batches_tracked`` entries (present when the ``.pth`` was saved by
+    torch >= 1.0; the reference pins 0.4.1 which has none) are ignored.
+    """
+    import jax.numpy as jnp
+    from densefusion_tpu.models import SegNet
+
+    pmap, smap = _segnet_maps()
+    model = SegNet(num_classes=num_classes)
+    template = _init_template(model, jnp.zeros((1, 32, 32, 3), jnp.float32))
+    params, consumed_p = _fill_tree(template["params"], pmap, sd)
+    stats, consumed_s = _fill_tree(template["batch_stats"], smap, sd)
+    leftovers = consumed_p | consumed_s | {
+        k for k in sd if k.endswith("num_batches_tracked")}
+    _check_leftovers(sd, leftovers)
+    return {"params": params, "batch_stats": stats}
+
+
+def segnet_state_dict_from_variables(variables: dict) -> dict[str, np.ndarray]:
+    """Convert :class:`densefusion_tpu.models.SegNet` variables into a
+    reference ``SegNet.state_dict()``-shaped dict. ``num_batches_tracked``
+    is not emitted: torch 0.4.1 (the reference pin) has no such key, and
+    modern torch BatchNorm tolerates its absence on ``load_state_dict``.
+    """
+    out = _export({"params": variables["params"]}, _segnet_maps()[0])
+    out.update(_export({"params": variables["batch_stats"]},
+                       _segnet_maps()[1]))
+    return out
+
+
+def import_segnet_checkpoint(segnet_pth: str, out_msgpack: str,
+                             num_classes: int = 22) -> None:
+    """Reference ``.pth`` SegNet (``vanilla_segmentation/train.py:80,103-106``
+    checkpoints) -> our ``segnet_best.msgpack`` serialization, directly
+    consumable by ``cli.segment`` to regenerate ``segnet_results`` masks."""
+    import os
+
+    from flax import serialization
+
+    variables = segnet_variables_from_torch(
+        load_torch_state_dict(segnet_pth), num_classes=num_classes)
+    os.makedirs(os.path.dirname(out_msgpack) or ".", exist_ok=True)
+    with open(out_msgpack, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+
+def export_segnet_checkpoint(msgpack_path: str, out_pth: str,
+                             num_classes: int = 22) -> None:
+    """Our ``segnet_best.msgpack`` -> reference ``torch.save(state_dict())``
+    file loadable by ``vanilla_segmentation/segnet.py`` via
+    ``model.load_state_dict(torch.load(...))``."""
+    import jax.numpy as jnp
+    import torch
+    from flax import serialization
+
+    from densefusion_tpu.models import SegNet
+
+    template = _init_template(SegNet(num_classes=num_classes),
+                              jnp.zeros((1, 32, 32, 3), jnp.float32))
+    with open(msgpack_path, "rb") as f:
+        variables = serialization.from_bytes(
+            {"params": template["params"],
+             "batch_stats": template["batch_stats"]}, f.read())
+    sd = segnet_state_dict_from_variables(variables)
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               out_pth)
 
 
 def export_torch_checkpoint(ckpt_path: str, pose_out: str,

@@ -369,3 +369,157 @@ def test_export_checkpoint_cli(tmp_path, rng):
             jax.tree_util.tree_flatten_with_path(re_ref)[0]):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# SegNet (vanilla_segmentation/segnet.py:6-121)
+# ---------------------------------------------------------------------------
+
+SEG_ENC = (2, 2, 3, 3, 3)          # convs per VGG16 pooling stage
+SEG_CLASSES = 5
+
+
+def make_segnet_state_dict(gen, num_classes=SEG_CLASSES,
+                           tracked=True) -> dict:
+    """Reference ``SegNet.state_dict()`` shapes built from the documented
+    architecture (13 conv+BN per side + final classifier). ``tracked=True``
+    adds the ``num_batches_tracked`` entries a modern-torch save carries."""
+    enc_ch = [(3, 64), (64, 128), (128, 256), (256, 512), (512, 512)]
+    sd = {}
+
+    def add(conv, bn, cin, cout):
+        # he-ish scaling keeps activations O(1) through 26 layers so the
+        # numerical-parity comparison isn't swamped by compounding float
+        # error on astronomically scaled values
+        sd[f"{conv}.weight"] = _t(cout, cin, 3, 3, gen=gen) / np.sqrt(
+            9.0 * cin)
+        sd[f"{conv}.bias"] = _t(cout, gen=gen)
+        sd[f"{bn}.weight"] = _t(cout, gen=gen)
+        sd[f"{bn}.bias"] = _t(cout, gen=gen)
+        sd[f"{bn}.running_mean"] = _t(cout, gen=gen)
+        sd[f"{bn}.running_var"] = torch.from_numpy(
+            np.abs(gen.standard_normal(cout).astype(np.float32)) + 0.5)
+        if tracked:
+            sd[f"{bn}.num_batches_tracked"] = torch.tensor(7)
+
+    for s, (cin, cout) in enumerate(enc_ch, start=1):
+        for i in range(1, SEG_ENC[s - 1] + 1):
+            add(f"conv{s}{i}", f"bn{s}{i}", cin if i == 1 else cout, cout)
+    # decoder: stage s applies conv{s}{n}d..conv{s}1d; last conv of each
+    # stage steps down to the previous stage's width; conv11d = classifier
+    dec_ch = {5: [(512, 512)] * 3,
+              4: [(512, 512), (512, 512), (512, 256)],
+              3: [(256, 256), (256, 256), (256, 128)],
+              2: [(128, 128), (128, 64)],
+              1: [(64, 64)]}
+    for s in range(5, 0, -1):
+        n = SEG_ENC[s - 1]
+        for k, (cin, cout) in enumerate(dec_ch[s]):
+            j = n - k       # descending torch index: conv{s}{n}d first
+            add(f"conv{s}{j}d", f"bn{s}{j}d", cin, cout)
+    sd["conv11d.weight"] = _t(num_classes, 64, 3, 3, gen=gen) / 24.0
+    sd["conv11d.bias"] = _t(num_classes, gen=gen)
+    return sd
+
+
+def _torch_segnet_forward(sd, x):
+    """Independent functional forward of the reference SegNet (eval mode)."""
+    def cbr(x, conv, bn, relu=True):
+        x = F.conv2d(x, sd[f"{conv}.weight"], sd[f"{conv}.bias"], padding=1)
+        x = F.batch_norm(x, sd[f"{bn}.running_mean"],
+                         sd[f"{bn}.running_var"], sd[f"{bn}.weight"],
+                         sd[f"{bn}.bias"], training=False)
+        return F.relu(x) if relu else x
+
+    ids = []
+    for s in range(1, 6):
+        for i in range(1, SEG_ENC[s - 1] + 1):
+            x = cbr(x, f"conv{s}{i}", f"bn{s}{i}")
+        x, idx = F.max_pool2d(x, 2, 2, return_indices=True)
+        ids.append(idx)
+    for s in range(5, 0, -1):
+        x = F.max_unpool2d(x, ids[s - 1], 2, 2)
+        n = SEG_ENC[s - 1]
+        lo = 2 if s == 1 else 1     # conv11d is the classifier, applied last
+        for j in range(n, lo - 1, -1):
+            x = cbr(x, f"conv{s}{j}d", f"bn{s}{j}d")
+    return F.conv2d(x, sd["conv11d.weight"], sd["conv11d.bias"], padding=1)
+
+
+@pytest.mark.slow
+def test_segnet_import_numerical(rng):
+    """Whole-network activation parity: flax SegNet with imported weights ==
+    an independent functional torch forward of the reference architecture
+    (eval mode, running BN stats), including the pool/unpool index plumbing."""
+    from densefusion_tpu.compat import segnet_variables_from_torch
+    from densefusion_tpu.models import SegNet
+
+    sd_t = make_segnet_state_dict(rng)
+    sd = {k: v.numpy() for k, v in sd_t.items()}
+    variables = segnet_variables_from_torch(sd, num_classes=SEG_CLASSES)
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ours = SegNet(num_classes=SEG_CLASSES).apply(
+        variables, jnp.asarray(x), train=False)
+    theirs = _torch_segnet_forward(
+        sd_t, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(
+        np.asarray(ours), np.transpose(theirs.numpy(), (0, 2, 3, 1)),
+        rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_segnet_export_roundtrip(rng):
+    """export(import(sd)) == sd bit-exactly (params AND running stats);
+    num_batches_tracked is tolerated on import, not re-emitted."""
+    from densefusion_tpu.compat import (
+        segnet_state_dict_from_variables, segnet_variables_from_torch,
+    )
+
+    sd = {k: v.numpy() for k, v in make_segnet_state_dict(rng).items()}
+    variables = segnet_variables_from_torch(sd, num_classes=SEG_CLASSES)
+    back = segnet_state_dict_from_variables(variables)
+    tracked = {k for k in sd if k.endswith("num_batches_tracked")}
+    assert set(back) == set(sd) - tracked
+    for k in back:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+@pytest.mark.slow
+def test_segnet_import_cli_and_segment(tmp_path, rng):
+    """cli.import_torch --segnet_model writes a msgpack that cli.segment can
+    run (masks from reference-trained weights); cli.export_torch inverts it."""
+    from PIL import Image
+    from densefusion_tpu.cli.export_torch import main as export_main
+    from densefusion_tpu.cli.import_torch import main as import_main
+    from densefusion_tpu.cli.segment import main as segment_main
+
+    pth = str(tmp_path / "segnet.pth")
+    torch.save(make_segnet_state_dict(rng), pth)
+    msgpack = str(tmp_path / "segnet_best.msgpack")
+    import_main(["--segnet_model", pth, "--num_classes", str(SEG_CLASSES),
+                 "--out", msgpack])
+
+    img_dir = tmp_path / "rgb"
+    img_dir.mkdir()
+    im = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    Image.fromarray(im).save(img_dir / "0000.png")
+    out_dir = str(tmp_path / "masks")
+    segment_main(["--checkpoint", msgpack, "--images",
+                  str(img_dir / "*.png"), "--out_dir", out_dir,
+                  "--num_classes", str(SEG_CLASSES), "--binary_class", "1"])
+    import os
+    assert os.path.exists(os.path.join(out_dir, "0000_label.png"))
+
+    back_pth = str(tmp_path / "back.pth")
+    export_main(["--segnet_ckpt", msgpack, "--segnet_out", back_pth,
+                 "--num_classes", str(SEG_CLASSES)])
+    orig = {k: v.numpy() for k, v in make_segnet_state_dict(rng).items()}
+    back = {k: v.numpy() for k, v in
+            torch.load(back_pth, map_location="cpu").items()}
+    want = {k: v.numpy() for k, v in
+            torch.load(pth, map_location="cpu").items()
+            if not k.endswith("num_batches_tracked")}
+    assert set(back) == set(want)
+    for k in back:
+        np.testing.assert_array_equal(back[k], want[k], err_msg=k)
