@@ -6,10 +6,13 @@ Three sections, one JSON line:
    jitted estimate + 2-iteration-refine program (YCB configuration: 21
    objects, 1000-point clouds, 192px crops, bf16 MXU compute), vs the
    reference's published ~0.06 s/frame (= 16.7 fps) GPU speed (BASELINE.md).
-2. **Train step**: device-side model+loss gradient at batch 32 with the
+2. **Train story**: device-side model+loss gradient at batch 32 with the
    realistic 8/32 symmetric fraction through the fused ADD/ADD-S hypothesis
-   distance (`train_grad_ms_b32` / `train_fps_device` keys) — the round-2d
-   headline path, now guarded against regression every round.
+   distance, in BOTH numerics configs (`train_grad_ms_b32` f32 and
+   `train_grad_ms_b32_bf16`, the measured recommendation), the phase-2
+   refine step at the M=2600 curriculum shape (`refine_step_ms_b32_M2600`),
+   and the host loader's fork-ring samples/s (`loader_ring_samples_per_s`)
+   — everything docs/PERF.md recommends is guarded every round.
 3. **Kernel parity smokes** (`kernel_parity` key): every Pallas kernel runs
    NON-interpreted on the real chip against its XLA reference — nn
    single/batched, ADD-S remap, fused min-distance (value+grad), hypothesis
@@ -224,15 +227,19 @@ def kernel_parity_smokes() -> list[str]:
     return fails
 
 
-def train_step_bench() -> dict:
+def train_step_bench(bf16: bool = False, b: int = 32, n: int = 1000,
+                     m: int = 500, crop: int = 192, reps: int = 10) -> dict:
     """Device-side model+loss gradient at batch 32 (8/32 symmetric, fused
-    ADD/ADD-S hypothesis distance) — the training-path headline."""
+    ADD/ADD-S hypothesis distance) — the training-path headline. With
+    ``bf16=True`` the model computes in bfloat16 (f32 master params/loss),
+    the measured recommendation from the round-3 convergence A/B
+    (docs/PERF.md): both configs are guarded every round."""
     import jax
     import jax.numpy as jnp
     from densefusion_tpu.models import PoseNet
     from densefusion_tpu.losses.pose_loss import pose_loss
 
-    b, n, m, crop, num_obj = 32, 1000, 500, 192, 21
+    num_obj = 21
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((b, crop, crop, 3)), jnp.float32)
     pts = jnp.asarray(rng.standard_normal((b, n, 3)) * 0.05, jnp.float32)
@@ -243,7 +250,8 @@ def train_step_bench() -> dict:
     sym = jnp.arange(b) < 8
     w = jnp.float32(0.015)
 
-    posenet = PoseNet(num_obj=num_obj)
+    posenet = PoseNet(num_obj=num_obj,
+                      dtype=jnp.bfloat16 if bf16 else None)
     params = jax.jit(posenet.init)(jax.random.key(0), img, pts, choose, obj)
 
     def step_loss(p):
@@ -255,14 +263,71 @@ def train_step_bench() -> dict:
     g = jax.jit(jax.grad(step_loss))
     out = g(params)
     _sync(jax.tree.leaves(out)[0])
-    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = g(params)
     _sync(jax.tree.leaves(out)[0])
     ms = (time.perf_counter() - t0) / reps * 1e3
-    return {"train_grad_ms_b32": round(ms, 2),
-            "train_fps_device": round(b / ms * 1e3, 1)}
+    suffix = "_bf16" if bf16 else ""
+    return {f"train_grad_ms_b32{suffix}": round(ms, 2),
+            f"train_fps_device{suffix}": round(b / ms * 1e3, 1)}
+
+
+def refine_step_bench(b: int = 32, n: int = 1000, m: int = 2600,
+                      crop: int = 192, reps: int = 10) -> dict:
+    """Phase-2 curriculum step at the YCB refine-tail shape (batch 32,
+    M=2600 mesh points, 2 refiner iterations, frozen PoseNet): the other
+    half of the training story (``tools/train.py:155-159,230-243``),
+    measured pipelined like the rest of this harness."""
+    import jax
+    from densefusion_tpu.models import PoseNet, PoseRefineNet
+    from densefusion_tpu.data import PoseSample
+    from densefusion_tpu.train import create_train_state
+    from densefusion_tpu.train.steps import make_refine_train_step
+    from densefusion_tpu.train.state import make_optimizer
+    from densefusion_tpu.utils.config import RunConfig
+
+    num_obj = 21
+    rng = np.random.default_rng(0)
+    batch = PoseSample(
+        points=rng.standard_normal((b, n, 3)).astype(np.float32) * 0.05,
+        choose=rng.integers(0, crop * crop, (b, n)).astype(np.int32),
+        img=rng.standard_normal((b, crop, crop, 3)).astype(np.float32),
+        target=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+        model_points=rng.standard_normal((b, m, 3)).astype(np.float32) * 0.05,
+        obj_idx=rng.integers(0, num_obj, (b,)).astype(np.int32),
+        sym=(np.arange(b) < 8), valid=np.ones((b,), bool),
+    )
+    cfg = RunConfig.preset("ycb")
+    posenet = PoseNet(num_obj=num_obj)
+    refiner = PoseRefineNet(num_obj=num_obj)
+    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
+                               batch)
+    tx = make_optimizer(cfg.lr)
+    state = state.replace(opt_state=tx.init(state.params_refine))
+    step = make_refine_train_step(posenet, refiner, tx, refine_iters=2)
+    w = np.float32(0.015)
+    state, metrics = step(state, batch, w)
+    _sync(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = step(state, batch, w)
+    _sync(metrics["loss"])
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    return {"refine_step_ms_b32_M2600": round(ms, 2),
+            "refine_fps_device": round(b / ms * 1e3, 1)}
+
+
+def loader_bench() -> dict:
+    """Host data-plane throughput (fork-worker shared-memory ring, the
+    training default): samples/s on the synthetic-YCB pipeline with full
+    augmentation — guards the C++ data plane (runtime/dfnative) +
+    loader against regression alongside the device numbers."""
+    from densefusion_tpu.cli.benchmark import bench_loader
+
+    out = bench_loader(workers=4, batch=16)
+    keep = {"loader_warm_samples_per_s", "loader_ring_samples_per_s"}
+    return {k: round(v, 1) for k, v in out.items() if k in keep}
 
 
 def main():
@@ -317,6 +382,9 @@ def main():
     extras: dict = {}
     if on_accel and os.environ.get("BENCH_FAST") != "1":
         extras.update(train_step_bench())
+        extras.update(train_step_bench(bf16=True))
+        extras.update(refine_step_bench())
+        extras.update(loader_bench())
         fails = kernel_parity_smokes()
         extras["kernel_parity"] = "ok" if not fails else "FAIL: " + \
             "; ".join(fails)
