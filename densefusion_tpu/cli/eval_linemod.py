@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--objlist", type=int, nargs="*", default=None,
                    help="subset of LineMOD object ids (default: all 13)")
     p.add_argument("--num_mesh", type=int, default=500)
+    p.add_argument("--native_crops", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="feed variable ladder-shape crops (the reference's "
+                        "exact input geometry) instead of resizing to "
+                        "--crop_size; 'auto' turns it on for imported torch "
+                        "checkpoints (decoder='torch'), whose weights never "
+                        "saw resized crops")
     return p
 
 
@@ -58,28 +65,26 @@ def main(argv=None):
     logger = setup_logger(
         "eval_linemod", os.path.join(args.output_dir, "eval_result_logs.txt"))
 
+    from densefusion_tpu.train import peek_config
+    from densefusion_tpu.train.checkpoint import clamp_refine_iters
+    ck_cfg = peek_config(args.checkpoint)
+    native = args.native_crops == "on" or (
+        args.native_crops == "auto"
+        and getattr(ck_cfg, "decoder", None) == "torch")
+
     ds = LineModDataset(args.dataset_root, mode=args.mode,
                         num_points=args.num_points, crop_size=args.crop_size,
-                        num_mesh_points=args.num_mesh, objlist=args.objlist)
+                        num_mesh_points=args.num_mesh, objlist=args.objlist,
+                        native_crop=native)
     diameters = ds.diameters() * 0.1  # thresholds (eval_linemod.py:61)
-    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
-                         num_workers=4)
 
     num_obj = len(ds.objlist)
     cfg = RunConfig.preset("linemod", num_points=args.num_points,
                            crop_size=args.crop_size)
-    from densefusion_tpu.train import peek_config
-    from densefusion_tpu.train.checkpoint import clamp_refine_iters
-    ck_cfg = peek_config(args.checkpoint)
     args.iterations = clamp_refine_iters(args.checkpoint, args.iterations,
                                          logger)
     posenet = PoseNet(num_obj=num_obj, **(ck_cfg or cfg).decoder_flags())
     refiner = PoseRefineNet(num_obj=num_obj)
-    sample = next(iter(loader.epoch(0)))
-    state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
-                               sample)
-    state, _, _ = load_checkpoint(args.checkpoint, state,
-                                  restore_opt=False)
     # return_unrefined=True: the argmax-confidence hypothesis BEFORE
     # refinement and the refined pose come out of ONE compiled dispatch, so
     # the per-pixel vs iterative split the paper's table publishes
@@ -91,36 +96,76 @@ def main(argv=None):
         pose_distances(m, q0, t0, tgt, sym),
         pose_distances(m, q, t, tgt, sym)))
 
+    state = None
+
+    def load_state(batch):
+        nonlocal state
+        if state is None:
+            state = create_train_state(posenet, refiner, cfg,
+                                       jax.random.key(0), batch)
+            state, _, _ = load_checkpoint(args.checkpoint, state,
+                                          restore_opt=False)
+        return state
+
+    def run(batch):
+        st = load_state(batch)
+        q0, t0, quat, trans, _conf = pipe(
+            st.params_pose, st.params_refine,
+            batch.img, batch.points, batch.choose, batch.obj_idx)
+        return dist_fn(batch.model_points, q0, t0, quat, trans,
+                       batch.target, batch.sym)
+
+    # rows[i] = (dis0, dis) for sample i, or None for a lost detection
+    rows: list = [None] * len(ds)
+    if native:
+        # variable ladder shapes: one compiled program per snapped crop
+        # shape, full batches per shape (eval/bucketed.py); protocol stats
+        # are order-independent so dispatch order doesn't matter
+        from densefusion_tpu.eval import ShapeBucketedDispatcher
+
+        disp = ShapeBucketedDispatcher(run, batch_size=args.batch_size)
+        for i in range(len(ds)):
+            s = ds[i]
+            if not s.valid:
+                continue
+            for key, (d0, d) in disp.add(i, s):
+                rows[key] = (float(d0), float(d))
+        for key, (d0, d) in disp.flush_all():
+            rows[key] = (float(d0), float(d))
+        logger.info(f"native-crop dispatch: "
+                    f"{len(disp.shapes_dispatched)} compiled shapes")
+    else:
+        loader = BatchLoader(ds, args.batch_size, shuffle=False,
+                             drop_last=False, num_workers=4)
+        i = 0
+        for batch in loader.epoch(0):
+            dis0, dis = (np.asarray(d) for d in run(batch))
+            for b in range(len(dis)):
+                if batch.valid[b]:
+                    rows[i] = (float(dis0[b]), float(dis[b]))
+                i += 1
+
     success0 = np.zeros(num_obj)  # per-pixel (no refinement)
     success = np.zeros(num_obj)   # iterative (refined)
     counts = np.zeros(num_obj)
     dist_sum0 = np.zeros(num_obj)
     dist_sum = np.zeros(num_obj)
     lost = 0
-    frame = 0
-    for batch in loader.epoch(0):
-        q0, t0, quat, trans, _conf = pipe(
-            state.params_pose, state.params_refine,
-            batch.img, batch.points, batch.choose, batch.obj_idx)
-        dis0, dis = (np.asarray(d) for d in dist_fn(
-            batch.model_points, q0, t0, quat, trans,
-            batch.target, batch.sym))
-        for b in range(len(dis)):
-            if not batch.valid[b]:
-                logger.info(f"No.{frame} NOT Pass! Lost detection!")
-                lost += 1
-                frame += 1
-                continue
-            o = int(batch.obj_idx[b])
-            ok = dis[b] < diameters[o]
-            success0[o] += dis0[b] < diameters[o]
-            success[o] += ok
-            dist_sum0[o] += dis0[b]
-            dist_sum[o] += dis[b]
-            counts[o] += 1
-            logger.info(f"No.{frame} {'Pass!' if ok else 'NOT Pass!'} "
-                        f"Distance: {dis[b]:.6f}")
-            frame += 1
+    for frame, row in enumerate(rows):
+        if row is None:
+            logger.info(f"No.{frame} NOT Pass! Lost detection!")
+            lost += 1
+            continue
+        o = ds.objlist.index(ds.items[frame][0])
+        dis0, dis = row
+        ok = dis < diameters[o]
+        success0[o] += dis0 < diameters[o]
+        success[o] += ok
+        dist_sum0[o] += dis0
+        dist_sum[o] += dis
+        counts[o] += 1
+        logger.info(f"No.{frame} {'Pass!' if ok else 'NOT Pass!'} "
+                    f"Distance: {dis:.6f}")
 
     per_object = []
     for i, obj in enumerate(ds.objlist):
@@ -148,6 +193,7 @@ def main(argv=None):
         "rate_refined": float(total),
         "lost_detections": int(lost),
         "iterations": int(args.iterations),
+        "native_crops": bool(native),
         "per_object": per_object,
     }
     import json

@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
                         " program. 'detection': the reference-shaped"
                         " batch-1-per-roi loop (tools/eval_ycb.py:147),"
                         " ~12k dispatches over the 2949 keyframes.")
+    p.add_argument("--native_crops", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="feed variable ladder-shape crops (the reference's "
+                        "exact input geometry, tools/eval_ycb.py:150-163) "
+                        "instead of resizing to --crop_size; 'auto' turns it "
+                        "on for imported torch checkpoints (decoder='torch')."
+                        " Overrides --dispatch with shape-bucketed batching.")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="shape-bucket batch size for --native_crops")
     return p
 
 
@@ -90,13 +99,6 @@ def main(argv=None):
     logger = setup_logger("eval_ycb",
                           os.path.join(args.output_dir, "eval_log.txt"))
 
-    ds = YCBPoseCNNEvalDataset(args.dataset_root, args.posecnn_results,
-                               num_points=args.num_points,
-                               crop_size=args.crop_size,
-                               num_keyframes=args.num_keyframes)
-    num_obj = len(ds.classes)
-    cfg = RunConfig.preset("ycb", num_points=args.num_points,
-                           crop_size=args.crop_size)
     # honor the checkpoint's own architecture flags (e.g. the torch
     # importer's decoder="torch" align-corners mode)
     from densefusion_tpu.train import peek_config
@@ -104,6 +106,18 @@ def main(argv=None):
         clamp_refine_iters, refiner_is_trained,
     )
     ck_cfg = peek_config(args.checkpoint)
+    native = args.native_crops == "on" or (
+        args.native_crops == "auto"
+        and getattr(ck_cfg, "decoder", None) == "torch")
+
+    ds = YCBPoseCNNEvalDataset(args.dataset_root, args.posecnn_results,
+                               num_points=args.num_points,
+                               crop_size=args.crop_size,
+                               num_keyframes=args.num_keyframes,
+                               native_crop=native)
+    num_obj = len(ds.classes)
+    cfg = RunConfig.preset("ycb", num_points=args.num_points,
+                           crop_size=args.crop_size)
     refiner_trained = refiner_is_trained(args.checkpoint)
     args.iterations = clamp_refine_iters(args.checkpoint, args.iterations,
                                          logger)
@@ -122,7 +136,55 @@ def main(argv=None):
                                           restore_opt=False)
         return state
 
-    if args.dispatch == "frame":
+    if native:
+        # variable ladder shapes (the reference's exact input geometry):
+        # shape-bucketed batches ACROSS keyframes — poses accumulate in
+        # memory (2949 frames x ~4 detections x 7 floats) and the .mat
+        # files are written in frame order at the end
+        from densefusion_tpu.eval import ShapeBucketedDispatcher
+
+        pipe = InferencePipeline(posenet, refiner,
+                                 refine_iters=args.iterations,
+                                 return_unrefined=True)
+
+        def run(batch):
+            st = load_state(batch)
+            q0, t0, q, t, _ = pipe(st.params_pose, st.params_refine,
+                                   batch.img, batch.points, batch.choose,
+                                   batch.obj_idx)
+            return q0, t0, q, t
+
+        disp = ShapeBucketedDispatcher(run, batch_size=args.batch_size)
+        wo_all: dict[int, list] = {}
+        it_all: dict[int, list] = {}
+
+        def store(key, res):
+            f, k = key
+            q0, t0, q, t = res
+            wo_all[f][k] = np.concatenate([q0, t0]).tolist()
+            it_all[f][k] = np.concatenate([q, t]).tolist()
+
+        for frame_idx in range(len(ds)):
+            dets = ds.detections(frame_idx)
+            wo_all[frame_idx] = [[0.0] * 7 for _ in dets]
+            it_all[frame_idx] = [[0.0] * 7 for _ in dets]
+            for k, (s, _, _) in enumerate(dets):
+                if not s.valid:
+                    continue
+                for key, res in disp.add((frame_idx, k), s):
+                    store(key, res)
+            if frame_idx % 100 == 0:
+                logger.info(f"Read No.{frame_idx} keyframe")
+        for key, res in disp.flush_all():
+            store(key, res)
+        logger.info(f"native-crop dispatch: "
+                    f"{len(disp.shapes_dispatched)} compiled shapes")
+        for frame_idx in range(len(ds)):
+            scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
+                         {"poses": wo_all[frame_idx]})
+            scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
+                         {"poses": it_all[frame_idx]})
+    elif args.dispatch == "frame":
         from densefusion_tpu.data.schema import PoseSample
 
         # ONE compiled program yields both the unrefined (wo_refine) and
@@ -213,6 +275,7 @@ def main(argv=None):
                   ("adds_auc", "add_auc", "adds_under_2cm")},
                "refine_iterations": args.iterations,
                "refiner_trained": refiner_trained,
+               "native_crops": native,
                "methods": table}
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)

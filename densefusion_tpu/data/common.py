@@ -76,6 +76,9 @@ def assemble_sample(
     crop_fn=None,                     # (rmin, rmax, cmin, cmax) -> crop rgb
     mask_fn=None,                     # (rmin, rmax, cmin, cmax) -> bool window
     frame_hw: tuple[int, int] | None = None,  # (H, W), required with mask_fn
+    native_crop: bool = False,        # keep the snapped ladder shape (no
+                                      # resize): the reference's exact input
+                                      # geometry, for imported torch weights
 ) -> PoseSample:
     """Build one PoseSample. ``point_fn(rows, cols) -> (n, 3)`` back-projects
     absolute pixel coordinates to metric 3D (pinhole or ray-map).
@@ -115,7 +118,14 @@ def assemble_sample(
         crop_rgb = rgb[rmin:rmax, cmin:cmax]
     if rgb_transform is not None:
         crop_rgb = rgb_transform(crop_rgb)
-    if native.available():
+    if native_crop:
+        # variable ladder shape, choose already in crop coordinates — the
+        # network sees exactly what the reference fed it
+        # (datasets/ycb/dataset.py:247-289, tools/eval_ycb.py:150-163);
+        # samples of one snapped shape batch together (eval/bucketed.py)
+        img = normalize_image(crop_rgb)
+        choose = (rows - rmin) * crop_w + (cols - cmin)
+    elif native.available():
         # fused normalize+resize in the native data-plane (runtime/dfnative)
         img = native.normalize_resize(crop_rgb, crop_size, crop_size,
                                       IMAGENET_MEAN_255, IMAGENET_STD_255)

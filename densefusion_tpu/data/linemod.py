@@ -53,7 +53,8 @@ class LineModDataset:
                  refine: bool = False, crop_size: int = 192,
                  num_mesh_points: int = 500, seed: int = 0,
                  objlist: Sequence[int] | None = None,
-                 cache_frames: int = 4096):
+                 cache_frames: int = 4096,
+                 native_crop: bool = False):
         self.root = root
         self.mode = mode
         self.num_points = num_points
@@ -62,6 +63,9 @@ class LineModDataset:
         self.refine = refine
         self.crop_size = crop_size
         self.num_mesh = num_mesh_points
+        # variable ladder-shape crops (no resize): eval-only — samples of
+        # differing shapes cannot collate into the fixed-shape train loader
+        self.native_crop = native_crop
         self.objlist = list(objlist) if objlist is not None else list(LINEMOD_OBJLIST)
         self.seed = seed
         self._epoch = 0
@@ -178,6 +182,7 @@ class LineModDataset:
             sym=obj in LINEMOD_SYM_IDS,
             num_points=self.num_points, crop_size=self.crop_size,
             rng=rng, add_t=add_t, rgb_transform=rgb_transform,
+            native_crop=self.native_crop,
         )
 
     def frame_info(self, index: int):

@@ -326,9 +326,10 @@ class YCBPoseCNNEvalDataset:
     def __init__(self, root: str, posecnn_results_dir: str,
                  num_points: int = 1000, crop_size: int = 192,
                  config_dir: str | None = None, num_keyframes: int = 2949,
-                 seed: int = 0):
+                 seed: int = 0, native_crop: bool = False):
         self.root = root
         self.posecnn_dir = posecnn_results_dir
+        self.native_crop = native_crop
         self.num_points = num_points
         self.crop_size = crop_size
         self.rng = np.random.default_rng(seed)
@@ -391,6 +392,6 @@ class YCBPoseCNNEvalDataset:
                 point_fn=point_fn, model_points=model, target=target,
                 obj_idx=itemid - 1, sym=(itemid - 1) in YCB_SYM,
                 num_points=self.num_points, crop_size=self.crop_size,
-                rng=self.rng)
+                rng=self.rng, native_crop=self.native_crop)
             out.append((sample, frame_idx, itemid))
         return out

@@ -14,6 +14,7 @@ from densefusion_tpu.eval.metrics import (
     translation_error,
 )
 from densefusion_tpu.eval.pipeline import InferencePipeline
+from densefusion_tpu.eval.bucketed import ShapeBucketedDispatcher
 from densefusion_tpu.eval.ycb_toolbox import (
     KeyframeResults, score_keyframes, summarize, plot_accuracy,
 )
@@ -22,5 +23,6 @@ __all__ = [
     "add_distance", "adds_distance", "adi_distance", "pose_distances",
     "vocap_auc", "accuracy_under_threshold", "success_rate",
     "rotation_error_deg", "translation_error", "InferencePipeline",
+    "ShapeBucketedDispatcher",
     "KeyframeResults", "score_keyframes", "summarize", "plot_accuracy",
 ]

@@ -216,3 +216,24 @@ def test_full_posenet_activation_parity(rng):
             np.asarray(out["pred_c"])[0],
             1.0 / (1.0 + np.exp(-outs["c"][:, 0])),
             rtol=1e-3, atol=1e-4, err_msg=f"pred_c sparse={sparse}")
+
+
+def test_pspnet_activation_parity_native_ladder_shape(rng):
+    """Same whole-network parity at a NATIVE (non-square) ladder crop shape
+    (80x120 -> 10x15 stride-8 features): exercises torch's non-divisible
+    adaptive-pooling windows (10->6, 15->6) and the align-corners decoder at
+    rectangular sizes — the input geometry the native-crop eval mode feeds
+    imported reference weights (datasets/ycb/dataset.py:247-289)."""
+    sd_t = _scaled_sd(rng)
+    sd = {k: v.numpy() for k, v in sd_t.items()}
+    params = posenet_params_from_torch(sd, num_obj=NUM_OBJ)
+
+    img = rng.standard_normal((1, 80, 120, 3)).astype(np.float32)
+    want = _torch_pspnet_forward(sd_t, torch.from_numpy(
+        img.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    model = PSPNet(variant="resnet18", emb_dim=EMB, fused_decoder=False,
+                   align_corners=True)
+    got = model.apply({"params": params["params"]["cnn"]},
+                      jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=2e-4)
