@@ -5,7 +5,7 @@ map (the phase formulation of resize2x+conv, ``models/layers.py:
 phase_conv_phases``) — the hottest decoder op left after round 2b: XLA's
 native conv lowering measured ~66% MXU efficiency at the up1 shape
 (24^2 x 1024 -> 1024, 5.3 ms/batch-64) across four probed formulations
-(``examples/tpu_up1_variants.py``). This kernel reformulates the conv in
+(``tpu_up1_variants.py``, probe removed round 4 — numbers archived in docs/PERF.md). This kernel reformulates the conv in
 FLAT spatial space so it becomes nine shifted matmuls with ONE f32
 accumulator that never leaves VMEM:
 
