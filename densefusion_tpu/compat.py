@@ -32,6 +32,13 @@ architecture (``tests/test_align_corners.py``). The PSP priors stay
 half-pixel in every mode: ``F.upsample``'s bilinear default is
 ``align_corners=False`` since torch 0.4.0 and the reference pins torch
 0.4.1 (``lib/pspnet.py:22``, ``Dockerfile:26``).
+
+Input contract: the reference feeds VARIABLE-size crops snapped to the
+40-px ladder (``datasets/ycb/dataset.py:247-289``) — imported weights never
+saw resize-to-canonical inputs. The eval CLIs' ``--native_crops auto``
+therefore feeds ``decoder="torch"`` checkpoints native ladder-shape crops
+(shape-bucketed dispatch, ``eval/bucketed.py``); models trained IN-repo
+default to the single canonical crop size they were trained on.
 """
 
 from __future__ import annotations
