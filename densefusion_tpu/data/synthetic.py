@@ -293,7 +293,8 @@ def generate_ycb_style_dataset(root: str, n_classes: int = 3,
                                n_real: int = 4, n_syn: int = 2,
                                n_test: int = 3, img_h: int = 480,
                                img_w: int = 640, seed: int = 0,
-                               posecnn_dir: str | None = None) -> None:
+                               posecnn_dir: str | None = None,
+                               objs_per_frame: int = 2) -> None:
     """Write a miniature YCB-Video-format tree (multi-object frames with
     -color/-depth/-label PNGs and -meta.mat, models/points.xyz,
     dataset_config lists) that :class:`YCBDataset`, :class:`SegDataset`, and
@@ -382,16 +383,20 @@ def generate_ycb_style_dataset(root: str, n_classes: int = 3,
     train_list, test_list = [], []
     os.makedirs(os.path.join(root, "data", "0000"), exist_ok=True)
     os.makedirs(os.path.join(root, "data_syn"), exist_ok=True)
+    # real YCB keyframes carry ~3-6 gt objects each; objs_per_frame sizes
+    # the synthetic scenes (and the per-keyframe gt-object count the eval
+    # protocol scores)
+    n_pick = min(objs_per_frame, n_classes)
     for i in range(n_real + n_test):
         name = f"data/0000/{i + 1:06d}"
         picks = list(rng.choice(np.arange(1, n_classes + 1),
-                                size=min(2, n_classes), replace=False))
+                                size=n_pick, replace=False))
         render_frame(os.path.join(root, name), picks)
         (train_list if i < n_real else test_list).append(name)
     for i in range(n_syn):
         name = f"data_syn/{i + 1:06d}"
         picks = list(rng.choice(np.arange(1, n_classes + 1),
-                                size=min(2, n_classes), replace=False))
+                                size=n_pick, replace=False))
         render_frame(os.path.join(root, name), picks)
         train_list.append(name)
 

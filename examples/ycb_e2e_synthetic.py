@@ -39,6 +39,9 @@ def main(argv=None):
                    help="real-style training frames")
     p.add_argument("--syn_frames", type=int, default=60,
                    help="data_syn frames (background-composited branch)")
+    p.add_argument("--objs_per_frame", type=int, default=2,
+                   help="gt objects per generated frame (real YCB keyframes "
+                        "carry ~3-6)")
     p.add_argument("--test_frames", type=int, default=24,
                    help="held-out keyframes scored by the toolbox protocol")
     p.add_argument("--nepoch", type=int, default=30)
@@ -84,7 +87,8 @@ def main(argv=None):
         generate_ycb_style_dataset(
             root, n_classes=args.classes, n_real=args.train_frames,
             n_syn=args.syn_frames, n_test=args.test_frames,
-            seed=args.seed, posecnn_dir=posecnn)
+            seed=args.seed, posecnn_dir=posecnn,
+            objs_per_frame=args.objs_per_frame)
     t_gen = time.time() - t0
 
     train_cli.main((["--bf16"] if args.bf16 else []) + [
