@@ -204,6 +204,53 @@ def bench_refine_step(batch: int = 8, repeats: int = 10,
             "refine_ms_per_step": dt * 1e3, "refine_frames_per_s": b / dt}
 
 
+def bench_seg(batch: int = 4, repeats: int = 10, num_classes: int = 22,
+              height: int = 480, width: int = 640):
+    """SegNet throughput at the reference's full-frame shape: the
+    CE train step (``vanilla_segmentation/train.py:62-78``) and the
+    argmax-mask inference pass that produces ``segnet_results`` labels
+    (``vanilla_segmentation/segnet.py:6-121`` at 480x640)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from densefusion_tpu.models import SegNet
+    from densefusion_tpu.train.seg import (
+        create_seg_train_state, make_seg_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    rgb = jax.device_put(
+        rng.standard_normal((batch, height, width, 3)).astype(np.float32))
+    label = jax.device_put(
+        rng.integers(0, num_classes, (batch, height, width)).astype(np.int32))
+    segnet = SegNet(num_classes=num_classes)
+    state, tx = create_seg_train_state(segnet, jax.random.key(0),
+                                       np.asarray(rgb))
+    step = make_seg_train_step(segnet, tx)
+    state, loss = step(state, rgb, label)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        state, loss = step(state, rgb, label)
+        _sync(loss)
+    dt = (time.perf_counter() - t0) / repeats
+    out = {"seg_batch": batch, "seg_train_ms_per_step": dt * 1e3,
+           "seg_train_frames_per_s": batch / dt}
+
+    # inference: logits -> argmax labels, scalar-reduced for honest syncs
+    infer = jax.jit(lambda p, bs, x: jnp.sum(jnp.argmax(
+        segnet.apply({"params": p, "batch_stats": bs}, x, train=False),
+        axis=-1)))
+    _sync(infer(state.params, state.batch_stats, rgb))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        _sync(infer(state.params, state.batch_stats, rgb))
+    dt = (time.perf_counter() - t0) / repeats
+    out.update({"seg_infer_ms_per_batch": dt * 1e3,
+                "seg_infer_frames_per_s": batch / dt})
+    return out
+
+
 def bench_scaling(per_device_batch: int = 8, repeats: int = 5):
     """Data-parallel scaling: frames/s of the pose train step at 1..N devices
     (weak scaling, fixed per-device batch). Efficiency(N) =
@@ -392,7 +439,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--what", default="all",
                    choices=["all", "knn", "inference", "latency", "train",
-                            "refine", "scaling", "loader", "train_e2e"])
+                            "refine", "seg", "scaling", "loader",
+                            "train_e2e"])
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--dataset_root", default=None,
                    help="existing YCB-format root for --what loader "
@@ -417,6 +465,8 @@ def main(argv=None):
             results.update(bench_train_step())
         if args.what == "refine":
             results.update(bench_refine_step(batch=args.batch))
+        if args.what == "seg":
+            results.update(bench_seg())
         if args.what == "scaling":
             results.update(bench_scaling())
         if args.what == "loader":

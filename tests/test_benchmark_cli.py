@@ -43,3 +43,11 @@ def test_bench_py_train_sections_smoke():
     assert set(out) == {"train_grad_ms_b32_bf16", "train_fps_device_bf16"}
     out = mod.refine_step_bench(b=2, n=32, m=64, crop=48, reps=1)
     assert set(out) == {"refine_step_ms_b32_M2600", "refine_fps_device"}
+
+
+@pytest.mark.slow
+def test_bench_seg_smoke():
+    out = bench.bench_seg(batch=1, repeats=1, num_classes=4,
+                          height=64, width=64)
+    assert out["seg_train_ms_per_step"] > 0
+    assert out["seg_infer_frames_per_s"] > 0
