@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=3)
     p.add_argument("--n_epochs", type=int, default=600)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--fg_weight", type=float, default=1.0,
+                   help="CE weight on foreground pixels (1.0 = reference's "
+                        "unweighted CE; raise for small-object frames where "
+                        "background dominates the pixel count)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--num_classes", type=int, default=None,
                    help="default: 22 for ycb, max(objlist)+1 for linemod")
@@ -84,8 +88,8 @@ def main(argv=None):
     sample = next(iter(train_loader.epoch(0)))
     state, tx = create_seg_train_state(segnet, jax.random.key(args.seed),
                                        sample.rgb, lr=args.lr)
-    train_step = make_seg_train_step(segnet, tx)
-    eval_step = make_seg_eval_step(segnet)
+    train_step = make_seg_train_step(segnet, tx, fg_weight=args.fg_weight)
+    eval_step = make_seg_eval_step(segnet, fg_weight=args.fg_weight)
 
     best = np.inf
     for epoch in range(1, args.n_epochs + 1):

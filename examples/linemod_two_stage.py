@@ -47,6 +47,10 @@ def main(argv=None):
                         "does not subsample)")
     p.add_argument("--seg_epochs", type=int, default=8)
     p.add_argument("--seg_batch", type=int, default=4)
+    p.add_argument("--seg_fg_weight", type=float, default=10.0,
+                   help="foreground CE weight for the segmenter (LineMOD "
+                        "objects cover a few %% of the frame; unweighted CE "
+                        "learns foreground too slowly at this budget)")
     p.add_argument("--nepoch", type=int, default=40)
     p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--batch", type=int, default=8)
@@ -100,6 +104,7 @@ def main(argv=None):
         "--objlist", *obj_args,
         "--batch_size", str(args.seg_batch),
         "--n_epochs", str(args.seg_epochs),
+        "--fg_weight", str(args.seg_fg_weight),
         "--workers", str(args.workers), "--seed", str(args.seed),
         "--out_dir", seg_dir, "--log_dir", os.path.join(work, "logs", "seg"),
     ])

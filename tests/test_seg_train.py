@@ -79,3 +79,31 @@ def test_seg_eval_fg_iou_semantics():
     # gt>0) = 3 pixels
     assert float(acc) == 0.75
     assert float(fg_iou) == pytest.approx(2.0 / 3.0)
+
+
+def test_seg_fg_weighted_step_matches_manual(seg_setup):
+    """fg_weight routes a per-pixel weighted CE through the train/eval
+    steps: the eval loss equals the manually weighted segmentation_loss,
+    and fg_weight=1 reproduces the unweighted reference objective."""
+    from densefusion_tpu.losses import segmentation_loss
+
+    segnet, state, tx, rgb, label = seg_setup
+    eval_w = make_seg_eval_step(segnet, fg_weight=7.0)
+    loss_w, _, _ = eval_w(state.params, state.batch_stats, rgb, label)
+    logits = segnet.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          rgb, train=False)
+    w = jnp.where(label > 0, 7.0, 1.0)
+    want = segmentation_loss(logits, label, weights=w)
+    np.testing.assert_allclose(float(loss_w), float(want), rtol=1e-6)
+
+    eval_1 = make_seg_eval_step(segnet, fg_weight=1.0)
+    loss_1, _, _ = eval_1(state.params, state.batch_stats, rgb, label)
+    np.testing.assert_allclose(float(loss_1),
+                               float(segmentation_loss(logits, label)),
+                               rtol=1e-6)
+
+    # weighted train step runs and trains
+    step = make_seg_train_step(segnet, tx, fg_weight=7.0)
+    state2, first = step(state, rgb, label)
+    assert np.isfinite(float(first))
