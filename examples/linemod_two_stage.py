@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--root", default="",
                    help="dataset/work directory (default: fresh tempdir)")
     p.add_argument("--out", default="", help="write the summary JSON here")
+    p.add_argument("--bf16", action="store_true",
+                   help="train the pose stage in bf16 compute (f32 master "
+                        "params; convergence-A/B-validated, docs/PERF.md)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes/budget wiring check")
@@ -128,7 +131,7 @@ def main(argv=None):
     t_masks = time.time() - t0 - t_gen - t_seg
 
     # -- stage 2: pose ------------------------------------------------------
-    train_cli.main([
+    train_cli.main((["--bf16"] if args.bf16 else []) + [
         "--dataset", "linemod", "--dataset_root", root,
         "--objlist", *obj_args,
         "--batch_size", str(args.batch), "--workers", str(args.workers),
