@@ -167,11 +167,22 @@ def main(argv=None):
     n_masks = sum(
         len(glob.glob(os.path.join(sr, f"{o:02d}_label", "*.png")))
         for o in objlist)
+    # seg-stage metrics for the summary: the best (lowest test loss) epoch's
+    # pixel accuracy + foreground IoU from the train_seg metrics stream
+    seg_best = None
+    seg_metrics_path = os.path.join(work, "logs", "seg", "metrics.jsonl")
+    if os.path.exists(seg_metrics_path):
+        with open(seg_metrics_path) as f:
+            epochs = [json.loads(ln) for ln in f if ln.strip()]
+        epochs = [e for e in epochs if e.get("kind") == "seg_epoch"]
+        if epochs:
+            seg_best = min(epochs, key=lambda e: e["test_loss"])
     result = {
         "work_dir": work,
         "objlist": list(objlist),
         "checkpoint": os.path.basename(ckpt),
         "predicted_masks": n_masks,
+        "seg_best_epoch": seg_best,
         "success_rate_0.1d": float(success),
         "eval": eval_detail,
         "gen_seconds": t_gen,
