@@ -80,6 +80,12 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # fail fast: on axon-tunnel hosts a pool-session clash at interpreter
+        # start leaves the backend unregistered, which otherwise only
+        # surfaces at the first jax op — after dataset generation
+        import jax
+        print(f"devices: {jax.devices()}", flush=True)
 
     from densefusion_tpu.data import generate_linemod_style_dataset
     from densefusion_tpu.cli import train_seg as train_seg_cli

@@ -34,7 +34,16 @@ def _rss_mb() -> float:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset_root", required=True,
-                   help="YCB-format root (synthetic generator layout)")
+                   help="YCB-format root (synthetic generator layout), or a "
+                        "Linemod_preprocessed tree with --format linemod")
+    p.add_argument("--format", default="ycb", choices=["ycb", "linemod"],
+                   dest="fmt",
+                   help="linemod: per-frame single-detection serving over "
+                        "the eval lists, masks from segnet_results/ "
+                        "predictions (the two-stage deployment shape)")
+    p.add_argument("--objlist", default="1,2,4,5,6,8,9,10,11,12,13,14,15",
+                   help="linemod format: object ids (index order must match "
+                        "the checkpoint's training objlist)")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--passes", type=int, default=5,
                    help="full passes over the keyframe list")
@@ -48,11 +57,14 @@ def main(argv=None):
     import numpy as np
     from PIL import Image
 
-    from densefusion_tpu.data.ycb import YCB_CAM_1
+    from densefusion_tpu.geometry.camera import LINEMOD_CAM, YCB_CAM_1
     from densefusion_tpu.serve import PoseEstimator
     from densefusion_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+
+    if args.fmt == "linemod":
+        return _linemod_soak(args, np, Image, LINEMOD_CAM, PoseEstimator)
 
     cfg_dir = os.path.join(args.dataset_root, "dataset_config")
     with open(os.path.join(cfg_dir, "test_data_list.txt")) as f:
@@ -97,6 +109,76 @@ def main(argv=None):
         "detections": n_dets,
         "warmup_s": round(warmup_s, 1),
         "warmup_detections": n_det_warm,
+        "sustained_frames_per_s": round(n_frames / dt, 2),
+        "sustained_detections_per_s": round(n_dets / dt, 2),
+        "rss_start_mb": round(rss_start, 1),
+        "rss_per_pass_mb": [round(r, 1) for r in rss_per_pass],
+        "rss_peak_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1),
+        "rss_growth_last3_mb": round(
+            rss_per_pass[-1] - rss_per_pass[-3], 1) if len(rss_per_pass) >= 3
+        else None,
+    }
+    print(json.dumps(summary, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary
+
+
+def _linemod_soak(args, np, Image, cam, PoseEstimator):
+    """Two-stage LineMOD deployment shape: one single-detection dispatch per
+    frame, masks from ``segnet_results/`` PREDICTIONS (no gt consumed), the
+    exact serving pattern behind ``tools/eval_linemod.py``."""
+    objlist = [int(x) for x in args.objlist.split(",")]
+    est = PoseEstimator.from_checkpoint(
+        args.checkpoint, num_obj=len(objlist), num_points=args.num_points,
+        crop_size=args.crop_size, refine_iters=args.iterations)
+
+    decoded = []  # (rgb, depth, mask, obj_idx) per eval frame
+    for obj in objlist:
+        base = os.path.join(args.dataset_root, "data", f"{obj:02d}")
+        with open(os.path.join(base, "test.txt")) as f:
+            ids = [int(ln) for ln in f if ln.strip()]
+        for fid in ids:
+            rgb = np.asarray(Image.open(
+                os.path.join(base, "rgb", f"{fid:04d}.png")))[..., :3]
+            depth = np.asarray(Image.open(
+                os.path.join(base, "depth", f"{fid:04d}.png")))
+            mask = np.asarray(Image.open(os.path.join(
+                args.dataset_root, "segnet_results", f"{obj:02d}_label",
+                f"{fid:04d}_label.png")))
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            decoded.append((rgb, depth, mask == 255, objlist.index(obj)))
+
+    t0 = time.perf_counter()
+    n_det_warm = sum(
+        est.estimate(r, d, m, i, cam, unit_scale=1e-3) is not None
+        for r, d, m, i in decoded)
+    warmup_s = time.perf_counter() - t0
+    rss_start = _rss_mb()
+
+    rss_per_pass = []
+    t0 = time.perf_counter()
+    n_frames = n_dets = 0
+    for _ in range(args.passes):
+        for rgb, depth, mask, obj_idx in decoded:
+            out = est.estimate(rgb, depth, mask, obj_idx, cam,
+                               unit_scale=1e-3)
+            n_frames += 1
+            n_dets += out is not None
+        rss_per_pass.append(_rss_mb())
+    dt = time.perf_counter() - t0
+
+    summary = {
+        "format": "linemod",
+        "eval_frames": len(decoded),
+        "passes": args.passes,
+        "frames": n_frames,
+        "detections": n_dets,
+        "warmup_s": round(warmup_s, 1),
+        "warmup_detections": int(n_det_warm),
         "sustained_frames_per_s": round(n_frames / dt, 2),
         "sustained_detections_per_s": round(n_dets / dt, 2),
         "rss_start_mb": round(rss_start, 1),
