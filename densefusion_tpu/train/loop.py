@@ -267,3 +267,16 @@ class Trainer:
             # steps than the cadence, which would leave no resumable
             # checkpoint at all on small datasets
             self._save("current")
+
+            # operator-requested graceful stop: `touch <out_dir>/STOP`
+            # ends the run at the next epoch boundary with best/current
+            # checkpoints saved and the curriculum state resumable —
+            # preemption-friendly control the reference (ctrl-C mid-epoch,
+            # state_dict-only snapshots) cannot express
+            stop_file = os.path.join(cfg.out_dir, "STOP")
+            if os.path.exists(stop_file):
+                self.logger.info(
+                    f"stop requested ({stop_file}); ending at epoch "
+                    f"{cur.epoch - 1} — resume with --resume "
+                    f"{os.path.join(cfg.out_dir, 'checkpoint_current')}")
+                break

@@ -47,6 +47,10 @@ def main(argv=None):
                         "does not subsample)")
     p.add_argument("--seg_epochs", type=int, default=8)
     p.add_argument("--seg_batch", type=int, default=4)
+    p.add_argument("--seg_lr", type=float, default=1e-4,
+                   help="segmenter Adam lr (the reference's 1e-4 assumes a "
+                        "600-epoch budget, vanilla_segmentation/train.py:28; "
+                        "short-budget runs need 3e-4..1e-3)")
     p.add_argument("--seg_fg_weight", type=float, default=10.0,
                    help="foreground CE weight for the segmenter (LineMOD "
                         "objects cover a few %% of the frame; unweighted CE "
@@ -113,6 +117,7 @@ def main(argv=None):
         "--objlist", *obj_args,
         "--batch_size", str(args.seg_batch),
         "--n_epochs", str(args.seg_epochs),
+        "--lr", str(args.seg_lr),
         "--fg_weight", str(args.seg_fg_weight),
         "--workers", str(args.workers), "--seed", str(args.seed),
         "--out_dir", seg_dir, "--log_dir", os.path.join(work, "logs", "seg"),

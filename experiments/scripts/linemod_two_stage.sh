@@ -16,7 +16,7 @@ ROOT=${1:-/tmp/lm_two_stage}
 python -u examples/linemod_two_stage.py \
   --objlist 1,2,4,5,6,8,9,10,11,12,13,14,15 \
   --train_frames 200 --test_frames 25 \
-  --seg_epochs 6 --seg_batch 4 --seg_fg_weight 10.0 \
+  --seg_epochs 10 --seg_batch 8 --seg_lr 5e-4 --seg_fg_weight 30.0 \
   --nepoch 90 --batch 8 --points 500 --crop 192 --iterations 4 \
   --workers 4 --seed 1 --bf16 \
   --root "$ROOT" --out "$ROOT/summary.json"

@@ -121,3 +121,22 @@ def test_refine_phase_freezes_posenet(trainer):
     pose_after = jax.tree.leaves(trainer.state.params_pose)
     for a, b in zip(pose_before, pose_after):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_stop_file_graceful_stop(tiny_cfg, tmp_path):
+    """`touch <out_dir>/STOP` ends run() at the next epoch boundary with a
+    resumable checkpoint_current saved (operator/preemption control)."""
+    import dataclasses
+    from densefusion_tpu.train import Trainer
+
+    cfg = dataclasses.replace(tiny_cfg, nepoch=3, objlist=(1,),
+                              out_dir=str(tmp_path),
+                              log_dir=str(tmp_path / "logs"))
+    tr = Trainer(cfg, posenet=PoseNet(num_obj=1),
+                 refiner=PoseRefineNet(num_obj=1))
+    tr.setup()
+    open(os.path.join(cfg.out_dir, "STOP"), "w").close()
+    tr.run()
+    # stopped after epoch 1 of 3, with the resume checkpoint on disk
+    assert tr.curriculum.epoch == 2
+    assert os.path.isdir(os.path.join(cfg.out_dir, "checkpoint_current"))
