@@ -33,6 +33,15 @@ def main(argv=None):
     p.add_argument("--binary_class", type=int, default=None,
                    help="write a 255/0 mask for this class id instead of the "
                         "full label map")
+    p.add_argument("--class_vs_bg", action="store_true",
+                   help="with --binary_class: mask where the class's logit "
+                        "beats BACKGROUND's (instead of the full argmax) — "
+                        "the right query when the sequence's object identity "
+                        "is known a priori, as in the LineMOD eval protocol "
+                        "(one object per test sequence, "
+                        "tools/eval_linemod.py:64): pixels contested only "
+                        "between 'this object' and 'not an object' don't "
+                        "forfeit to a third class's logit")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--list", dest="list_file", default=None,
                    help="text file of frame ids; only globbed images whose "
@@ -72,6 +81,9 @@ def main(argv=None):
     @jax.jit
     def predict(rgb):
         logits = segnet.apply(variables, rgb, train=False)
+        if args.class_vs_bg and args.binary_class is not None:
+            # 255 where p(class) > p(background); other classes don't vote
+            return (logits[..., args.binary_class] > logits[..., 0])
         return jax.numpy.argmax(logits, axis=-1)
 
     for i in range(0, len(paths), args.batch_size):
@@ -83,7 +95,8 @@ def main(argv=None):
         for p_, lab in zip(chunk, labels):
             stem = os.path.splitext(os.path.basename(p_))[0]
             if args.binary_class is not None:
-                out = ((lab == args.binary_class) * 255).astype(np.uint8)
+                hit = lab if lab.dtype == bool else (lab == args.binary_class)
+                out = (hit * 255).astype(np.uint8)
             else:
                 out = lab.astype(np.uint8)
             Image.fromarray(out).save(
