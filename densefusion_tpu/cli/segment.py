@@ -72,7 +72,10 @@ def main(argv=None):
 
     segnet = SegNet(num_classes=args.num_classes)
     first = normalize_image(np.array(Image.open(paths[0]))[..., :3])
-    variables = segnet.init(jax.random.key(0), first[None], train=False)
+    # jitted init: un-jitted flax init dispatches one device op per
+    # parameter — ~1 min of RTTs on remote-tunnel backends
+    variables = jax.jit(
+        lambda: segnet.init(jax.random.key(0), first[None], train=False))()
     with open(args.checkpoint, "rb") as f:
         variables = serialization.from_bytes(
             {"params": variables["params"],
