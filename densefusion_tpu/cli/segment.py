@@ -48,6 +48,9 @@ def main(argv=None):
                         "basename stem matches an id (as-is or %%04d) are "
                         "segmented")
     args = p.parse_args(argv)
+    if args.class_vs_bg and args.binary_class is None:
+        p.error("--class_vs_bg requires --binary_class (it selects WHICH "
+                "class's logit is compared against background)")
     from densefusion_tpu.utils import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 

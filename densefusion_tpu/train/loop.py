@@ -279,4 +279,10 @@ class Trainer:
                     f"stop requested ({stop_file}); ending at epoch "
                     f"{cur.epoch - 1} — resume with --resume "
                     f"{os.path.join(cfg.out_dir, 'checkpoint_current')}")
+                # consume the marker so a `--resume` into the same out_dir
+                # doesn't immediately re-stop on the stale file
+                try:
+                    os.remove(stop_file)
+                except OSError:
+                    pass
                 break

@@ -61,6 +61,14 @@ def main(argv=None):
     p.add_argument("--points", type=int, default=500)
     p.add_argument("--crop", type=int, default=192)
     p.add_argument("--iterations", type=int, default=4)
+    p.add_argument("--argmax_masks", action="store_true",
+                   help="derive masks from the plain 22-way argmax instead "
+                        "of the default class-vs-background query. The "
+                        "LineMOD eval protocol knows each test sequence's "
+                        "object identity a priori (one object per sequence, "
+                        "tools/eval_linemod.py:64), so class-vs-bg is the "
+                        "right default; argmax masks need a far longer seg "
+                        "budget to discriminate classes (docs/PERF.md r4)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--root", default="",
@@ -90,6 +98,11 @@ def main(argv=None):
         # surfaces at the first jax op — after dataset generation
         import jax
         print(f"devices: {jax.devices()}", flush=True)
+        if all(d.platform == "cpu" for d in jax.devices()):
+            raise SystemExit(
+                "only CPU devices visible — the accelerator backend did not "
+                "register (PYTHONPATH clobber?). Pass --cpu to run on CPU "
+                "deliberately.")
 
     from densefusion_tpu.data import generate_linemod_style_dataset
     from densefusion_tpu.cli import train_seg as train_seg_cli
@@ -138,7 +151,7 @@ def main(argv=None):
             "--out_dir", os.path.join(sr, f"{obj:02d}_label"),
             "--num_classes", str(num_classes),
             "--binary_class", str(obj),
-        ])
+        ] + ([] if args.argmax_masks else ["--class_vs_bg"]))
     t_masks = time.time() - t0 - t_gen - t_seg
 
     # -- stage 2: pose ------------------------------------------------------

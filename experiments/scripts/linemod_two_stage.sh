@@ -10,7 +10,10 @@
 # registers from its sitecustomize) and run ONE TPU process at a time.
 set -e
 cd "$(dirname "$0")/../.."
-export PYTHONPATH=$PWD${AXON_SITE:+:$AXON_SITE}
+# preserve any inherited PYTHONPATH (e.g. /root/.axon_site, whose
+# sitecustomize registers the TPU backend) — clobbering it silently
+# drops the run to CPU
+export PYTHONPATH=$PWD${PYTHONPATH:+:$PYTHONPATH}${AXON_SITE:+:$AXON_SITE}
 
 ROOT=${1:-/tmp/lm_two_stage}
 python -u examples/linemod_two_stage.py \
