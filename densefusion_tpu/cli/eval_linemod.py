@@ -188,6 +188,17 @@ def main(argv=None):
     total = success.sum() / n_all
     logger.info(f"ALL success rate: {total} (per-pixel: {total0}, "
                 f"lost detections: {lost})")
+    if args.iterations and total < total0:
+        from densefusion_tpu.train.checkpoint import refine_step_count
+        steps = refine_step_count(args.checkpoint)
+        logger.warning(
+            f"REFINEMENT DEGRADED ACCURACY: refined {total:.4f} < per-pixel "
+            f"{total0:.4f} at --iterations {args.iterations}. The "
+            f"checkpoint's refiner has "
+            f"{steps if steps is not None else 'an unknown number of'} "
+            "training steps — an immature refiner composed over iterations "
+            "amplifies its own error (docs/PERF.md rounds 3-4). Report the "
+            "per-pixel number or train the refine phase longer.")
     result = {
         "rate_per_pixel": float(total0),
         "rate_refined": float(total),

@@ -68,6 +68,22 @@ def main(argv=None):
               f"ADD AUC {row['add_auc']:.2f}  "
               f"<2cm {row['adds_under_2cm']:.2f}  "
               f"detected {row['detected']}/{row['total']}")
+    # immature-refiner tripwire: when the canonical refined/unrefined pair
+    # is scored together (eval_ycb writes both), a refined AUC BELOW the
+    # per-pixel one means the refiner is hurting — twice measured with
+    # early-phase-2 checkpoints (docs/PERF.md rounds 3-4)
+    refined = [m for m in results.methods if "iter" in m.lower()]
+    unrefined = [m for m in results.methods
+                 if any(k in m.lower() for k in ("wo", "pixel", "norefine"))]
+    if refined and unrefined:
+        r, u = table[refined[0]]["all"], table[unrefined[0]]["all"]
+        if r["adds_auc"] < u["adds_auc"]:
+            print(f"WARNING: REFINEMENT DEGRADED ACCURACY — "
+                  f"{refined[0]} ADD-S AUC {r['adds_auc']:.2f} < "
+                  f"{unrefined[0]} {u['adds_auc']:.2f}. An immature refiner "
+                  "amplifies its own error over iterations; report the "
+                  "unrefined number or train the refine phase longer "
+                  "(docs/PERF.md rounds 3-4).")
     return table
 
 

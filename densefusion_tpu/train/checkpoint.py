@@ -88,20 +88,60 @@ def refiner_is_trained(path: str) -> bool:
         return True
 
 
+REFINE_MATURITY_STEPS = 10_000
+"""Refine-step count below which iterative refinement is empirically risky.
+
+Twice measured on this codebase: a 3240-step refiner turned a 0.48
+per-pixel LineMOD <0.1d rate into 0.31 refined, and an early-phase-2 YCB
+checkpoint turned 91.7 AUC into 45.5 (docs/PERF.md rounds 3-4) — an
+immature refiner composed 2-4x AMPLIFIES its own error. The builder's
+convergence curve only shows refinement beating per-pixel from roughly
+20k steps. Heuristic, not a hard gate: consumers warn below this, they
+don't clamp (the eval CLIs print per-pixel vs refined side by side)."""
+
+
+def refine_step_count(path: str):
+    """The curriculum sidecar's refine-step counter: ``0`` when the refine
+    phase never started, ``None`` when unknowable (no/unparseable sidecar,
+    or a pre-counter checkpoint)."""
+    try:
+        with open(os.path.join(path, "curriculum.json")) as f:
+            d = json.load(f)
+        if not isinstance(d, dict):
+            return None
+        if not d.get("refine_started", False):
+            return 0
+        v = d.get("refine_steps")
+        return int(v) if v is not None else None
+    except (FileNotFoundError, ValueError, TypeError):
+        return None
+
+
 def clamp_refine_iters(path: str, iterations: int, logger=None) -> int:
     """Shared untrained-refiner guard for every checkpoint-consuming entry
-    point: returns ``iterations`` unchanged when the checkpoint's refiner
-    has been trained, else warns and returns 0."""
-    if iterations and not refiner_is_trained(path):
-        msg = (f"checkpoint {path!r} is phase-1 (curriculum refine gate "
-               "never fired or no refine step has run): its bundled "
-               "refiner is UNTRAINED — running 0 refinement iterations")
+    point (both eval CLIs, ``PoseEstimator.from_checkpoint``): returns
+    ``iterations`` unchanged when the checkpoint's refiner has been
+    trained, else warns and returns 0. A trained-but-immature refiner
+    (< :data:`REFINE_MATURITY_STEPS` steps) warns without clamping."""
+    def _emit(msg, warning=True):
         if logger is not None:
-            logger.warning(msg)
+            (logger.warning if warning else logger.info)(msg)
         else:
             import warnings
             warnings.warn(msg)
+
+    if iterations and not refiner_is_trained(path):
+        _emit(f"checkpoint {path!r} is phase-1 (curriculum refine gate "
+              "never fired or no refine step has run): its bundled "
+              "refiner is UNTRAINED — running 0 refinement iterations")
         return 0
+    steps = refine_step_count(path)
+    if iterations and steps is not None and 0 < steps < REFINE_MATURITY_STEPS:
+        _emit(f"checkpoint {path!r} has an IMMATURE refiner ({steps} refine "
+              f"steps < {REFINE_MATURITY_STEPS}): at this maturity iterative "
+              "refinement has measurably DEGRADED accuracy (docs/PERF.md "
+              "rounds 3-4) — compare against --iterations 0 / "
+              "refine_iters=0 before trusting refined numbers")
     return iterations
 
 

@@ -132,3 +132,67 @@ def test_curriculum_from_dict_tolerates_unknown_keys():
     d["added_by_a_newer_version"] = 3
     cur = Curriculum.from_dict(d)
     assert cur.refine_started is True
+
+
+def test_refine_maturity_guard(tmp_path):
+    """A trained-but-immature refiner (< REFINE_MATURITY_STEPS refine
+    steps) warns WITHOUT clamping; a mature one is silent. Twice-measured
+    failure mode: composing a barely-trained refiner amplifies its own
+    error (docs/PERF.md rounds 3-4)."""
+    import json
+    import os
+    import warnings
+    from densefusion_tpu.train.checkpoint import (
+        REFINE_MATURITY_STEPS, clamp_refine_iters, refine_step_count,
+    )
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+
+    def write(cur):
+        with open(ck / "curriculum.json", "w") as f:
+            json.dump(cur.to_dict(), f)
+
+    write(Curriculum())
+    assert refine_step_count(str(ck)) == 0
+
+    write(Curriculum(refine_started=True, refine_steps=500))
+    assert refine_step_count(str(ck)) == 500
+    with pytest.warns(UserWarning, match="IMMATURE"):
+        assert clamp_refine_iters(str(ck), 4) == 4  # warn, don't clamp
+
+    # a logger suppresses the warnings-module path
+    class Cap:
+        msgs: list = []
+        def warning(self, m):
+            self.msgs.append(m)
+        def info(self, m):
+            pass
+    cap = Cap()
+    assert clamp_refine_iters(str(ck), 4, cap) == 4
+    assert any("IMMATURE" in m for m in cap.msgs)
+
+    write(Curriculum(refine_started=True,
+                     refine_steps=REFINE_MATURITY_STEPS))
+    assert refine_step_count(str(ck)) == REFINE_MATURITY_STEPS
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert clamp_refine_iters(str(ck), 4) == 4  # mature: silent
+
+    # --iterations 0 never warns regardless of maturity
+    write(Curriculum(refine_started=True, refine_steps=1))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert clamp_refine_iters(str(ck), 0) == 0
+
+    # unknowable counters (pre-counter sidecar / no sidecar) stay silent
+    d = Curriculum(refine_started=True).to_dict()
+    del d["refine_steps"]
+    with open(ck / "curriculum.json", "w") as f:
+        json.dump(d, f)
+    assert refine_step_count(str(ck)) is None
+    os.remove(ck / "curriculum.json")
+    assert refine_step_count(str(ck)) is None
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert clamp_refine_iters(str(ck), 4) == 4

@@ -47,6 +47,10 @@ def test_eval_ycb_cli(tmp_path):
     ])
     assert 0.0 <= summary["adds_auc"] <= 100.0
     assert os.path.exists(os.path.join(out_dir, "metrics.json"))
+    # refine_steps=1 is far below the maturity threshold: the shared
+    # guard must surface the IMMATURE warning in this CLI's log too
+    with open(os.path.join(out_dir, "eval_log.txt")) as f:
+        assert "IMMATURE" in f.read()
     assert os.path.exists(os.path.join(
         out_dir, "Densefusion_iterative_result", "0000.mat"))
     import scipy.io as scio
