@@ -11,8 +11,11 @@ Three sections, one JSON line:
    distance, in BOTH numerics configs (`train_grad_ms_b32` f32 and
    `train_grad_ms_b32_bf16`, the measured recommendation), the phase-2
    refine step at the M=2600 curriculum shape (`refine_step_ms_b32_M2600`),
-   and the host loader's fork-ring samples/s (`loader_ring_samples_per_s`)
-   — everything docs/PERF.md recommends is guarded every round.
+   the host loader's fork-ring samples/s (`loader_ring_samples_per_s`),
+   and the stage-1 SegNet train/infer numbers (`seg_train_ms_b4`,
+   `seg_infer_fps_b4`) — everything docs/PERF.md recommends is guarded
+   every round. The headline fps is a median of 5 timed windows with
+   `fps_spread` = [min, max] (tunnel transport varies round to round).
 3. **Kernel parity smokes** (`kernel_parity` key): every Pallas kernel runs
    NON-interpreted on the real chip against its XLA reference — nn
    single/batched, ADD-S remap, fused min-distance (value+grad), hypothesis
@@ -273,13 +276,19 @@ def train_step_bench(bf16: bool = False, b: int = 32, n: int = 1000,
             f"train_fps_device{suffix}": round(b / ms * 1e3, 1)}
 
 
-def refine_step_bench(b: int = 32, n: int = 1000, m: int = 2600,
-                      crop: int = 192, reps: int = 10) -> dict:
+def refine_step_bench(bf16: bool = False, b: int = 32, n: int = 1000,
+                      m: int = 2600, crop: int = 192,
+                      reps: int = 10) -> dict:
     """Phase-2 curriculum step at the YCB refine-tail shape (batch 32,
     M=2600 mesh points, 2 refiner iterations, frozen PoseNet): the other
     half of the training story (``tools/train.py:155-159,230-243``),
-    measured pipelined like the rest of this harness."""
+    measured pipelined like the rest of this harness. Both numerics are
+    guarded: the f32 key is the historical driver number; ``bf16=True``
+    matches what a ``--bf16`` run actually executes in phase 2 (the r4
+    7x-vs-phase-1 reading compared f32 phase-2 against bf16 phase-1 —
+    decomposition in examples/tpu_refine_decomp.py + docs/PERF.md r5)."""
     import jax
+    import jax.numpy as jnp
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.data import PoseSample
     from densefusion_tpu.train import create_train_state
@@ -299,8 +308,9 @@ def refine_step_bench(b: int = 32, n: int = 1000, m: int = 2600,
         sym=(np.arange(b) < 8), valid=np.ones((b,), bool),
     )
     cfg = RunConfig.preset("ycb")
-    posenet = PoseNet(num_obj=num_obj)
-    refiner = PoseRefineNet(num_obj=num_obj)
+    dtype = jnp.bfloat16 if bf16 else None
+    posenet = PoseNet(num_obj=num_obj, dtype=dtype)
+    refiner = PoseRefineNet(num_obj=num_obj, dtype=dtype)
     state = create_train_state(posenet, refiner, cfg, jax.random.key(0),
                                batch)
     tx = make_optimizer(cfg.lr)
@@ -314,8 +324,22 @@ def refine_step_bench(b: int = 32, n: int = 1000, m: int = 2600,
         state, metrics = step(state, batch, w)
     _sync(metrics["loss"])
     ms = (time.perf_counter() - t0) / reps * 1e3
-    return {"refine_step_ms_b32_M2600": round(ms, 2),
-            "refine_fps_device": round(b / ms * 1e3, 1)}
+    suffix = "_bf16" if bf16 else ""
+    return {f"refine_step_ms_b32_M2600{suffix}": round(ms, 2),
+            f"refine_fps_device{suffix}": round(b / ms * 1e3, 1)}
+
+
+def seg_bench() -> dict:
+    """Stage-1 (SegNet) numbers in the driver artifact: the 480x640 CE
+    train step and the argmax-mask inference pass that produces
+    ``segnet_results`` labels — the first stage of the two-stage LineMOD
+    protocol becomes regression-visible round-over-round (VERDICT r4
+    item 8)."""
+    from densefusion_tpu.cli.benchmark import bench_seg
+
+    out = bench_seg(batch=4, repeats=10)
+    return {"seg_train_ms_b4": round(out["seg_train_ms_per_step"], 2),
+            "seg_infer_fps_b4": round(out["seg_infer_frames_per_s"], 1)}
 
 
 def loader_bench() -> dict:
@@ -366,25 +390,39 @@ def main():
     q, t, c = pipe(pose_params, refine_params, imgs[0], pts, choose, obj)
     np.asarray(q)
 
+    # repeated measurement: the tunnel transport adds round-to-round
+    # variance (r4 captured 2483 fps vs r3's 2739 on identical code) — the
+    # headline is the MEDIAN of `rounds` independent timed windows and
+    # `fps_spread` records min..max so cross-round comparisons carry error
+    # bars (VERDICT r4 item 9)
     iters = 20 if on_accel else 5
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        q, t, c = pipe(pose_params, refine_params, imgs[i % 4], pts, choose,
-                       obj)
-        outs.append(q)
-    # single real sync: device stream is in-order, so transferring the last
-    # call's output bounds the completion of every submitted batch
-    np.asarray(outs[-1])
-    dt = time.perf_counter() - t0
-    fps = batch * iters / dt
+    rounds = 5 if on_accel else 1
+    fps_runs = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(iters):
+            q, t, c = pipe(pose_params, refine_params, imgs[i % 4], pts,
+                           choose, obj)
+            outs.append(q)
+        # single real sync: device stream is in-order, so transferring the
+        # last call's output bounds the completion of every submitted batch
+        np.asarray(outs[-1])
+        dt = time.perf_counter() - t0
+        fps_runs.append(batch * iters / dt)
+    fps = float(np.median(fps_runs))
 
     extras: dict = {}
+    if rounds > 1:
+        extras["fps_spread"] = [round(min(fps_runs), 1),
+                                round(max(fps_runs), 1)]
     if on_accel and os.environ.get("BENCH_FAST") != "1":
         extras.update(train_step_bench())
         extras.update(train_step_bench(bf16=True))
         extras.update(refine_step_bench())
+        extras.update(refine_step_bench(bf16=True))
         extras.update(loader_bench())
+        extras.update(seg_bench())
         fails = kernel_parity_smokes()
         extras["kernel_parity"] = "ok" if not fails else "FAIL: " + \
             "; ".join(fails)
