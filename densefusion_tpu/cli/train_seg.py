@@ -28,13 +28,20 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="fmt")
     p.add_argument("--objlist", type=int, nargs="*", default=None,
                    help="linemod format: subset of object ids (default all)")
-    p.add_argument("--batch_size", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="default: 3 (ycb, the reference recipe), 8 (linemod)")
     p.add_argument("--n_epochs", type=int, default=600)
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--fg_weight", type=float, default=1.0,
-                   help="CE weight on foreground pixels (1.0 = reference's "
-                        "unweighted CE; raise for small-object frames where "
-                        "background dominates the pixel count)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="default: 1e-4 (ycb, vanilla_segmentation/"
+                        "train.py:26's recipe at its 600-epoch budget), "
+                        "5e-4 (linemod — 1e-4 stays all-background at "
+                        "short budgets, docs/PERF.md round 4)")
+    p.add_argument("--fg_weight", type=float, default=None,
+                   help="CE weight on foreground pixels. Default: 1.0 for "
+                        "ycb (the reference's unweighted CE), 30.0 for "
+                        "linemod, whose objects cover a few %% of the frame "
+                        "— unweighted CE learns foreground too slowly "
+                        "(measured recipe, docs/PERF.md round 4)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--num_classes", type=int, default=None,
                    help="default: 22 for ycb, max(objlist)+1 for linemod")
@@ -44,8 +51,24 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_recipe_defaults(args):
+    """Format-aware recipe defaults (measured, docs/PERF.md round 4): the
+    reference's lr 1e-4 / unweighted CE assumes its 600-epoch YCB budget
+    (``vanilla_segmentation/train.py:26-28``); the LineMOD 13-way segmenter
+    needs lr 5e-4 + fg_weight 30 + batch 8 to learn foreground at all at
+    short budgets. Explicit flags always win."""
+    if args.fmt == "linemod":
+        defaults = dict(batch_size=8, lr=5e-4, fg_weight=30.0)
+    else:
+        defaults = dict(batch_size=3, lr=1e-4, fg_weight=1.0)
+    for k, v in defaults.items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
+    return args
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    args = resolve_recipe_defaults(build_parser().parse_args(argv))
     from densefusion_tpu.utils import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
     import numpy as np

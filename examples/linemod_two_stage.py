@@ -46,12 +46,14 @@ def main(argv=None):
                    help="eval frames per object (full test list; eval mode "
                         "does not subsample)")
     p.add_argument("--seg_epochs", type=int, default=8)
-    p.add_argument("--seg_batch", type=int, default=4)
-    p.add_argument("--seg_lr", type=float, default=1e-4,
+    p.add_argument("--seg_batch", type=int, default=8)
+    p.add_argument("--seg_lr", type=float, default=5e-4,
                    help="segmenter Adam lr (the reference's 1e-4 assumes a "
-                        "600-epoch budget, vanilla_segmentation/train.py:28; "
-                        "short-budget runs need 3e-4..1e-3)")
-    p.add_argument("--seg_fg_weight", type=float, default=10.0,
+                        "600-epoch budget, vanilla_segmentation/train.py:28, "
+                        "and stays all-background at short budgets; 5e-4 is "
+                        "the measured recipe, docs/PERF.md round 4 — now "
+                        "also the cli.train_seg default for this format)")
+    p.add_argument("--seg_fg_weight", type=float, default=30.0,
                    help="foreground CE weight for the segmenter (LineMOD "
                         "objects cover a few %% of the frame; unweighted CE "
                         "learns foreground too slowly at this budget)")

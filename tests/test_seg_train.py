@@ -107,3 +107,26 @@ def test_seg_fg_weighted_step_matches_manual(seg_setup):
     step = make_seg_train_step(segnet, tx, fg_weight=7.0)
     state2, first = step(state, rgb, label)
     assert np.isfinite(float(first))
+
+
+def test_train_seg_recipe_defaults():
+    """--format linemod resolves to the measured short-budget recipe
+    (lr 5e-4, fg_weight 30, batch 8 — docs/PERF.md round 4); ycb keeps the
+    reference's 600-epoch recipe; explicit flags always win."""
+    from densefusion_tpu.cli.train_seg import (
+        build_parser, resolve_recipe_defaults,
+    )
+
+    lm = resolve_recipe_defaults(build_parser().parse_args(
+        ["--dataset_root", "/x", "--format", "linemod"]))
+    assert (lm.lr, lm.fg_weight, lm.batch_size) == (5e-4, 30.0, 8)
+
+    ycb = resolve_recipe_defaults(build_parser().parse_args(
+        ["--dataset_root", "/x"]))
+    assert (ycb.lr, ycb.fg_weight, ycb.batch_size) == (1e-4, 1.0, 3)
+
+    explicit = resolve_recipe_defaults(build_parser().parse_args(
+        ["--dataset_root", "/x", "--format", "linemod",
+         "--lr", "1e-3", "--fg_weight", "2", "--batch_size", "4"]))
+    assert (explicit.lr, explicit.fg_weight, explicit.batch_size) == \
+        (1e-3, 2.0, 4)
