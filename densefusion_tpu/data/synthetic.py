@@ -101,6 +101,30 @@ def _splat_render(points_cam_mm: np.ndarray, colors: np.ndarray,
     return rgb, np.round(depth).astype(np.uint16), mask
 
 
+def object_colorway(model_mm: np.ndarray, obj_seed: int) -> np.ndarray:
+    """Per-object surface coloring: the position ramp pushed through an
+    object-specific color basis (base albedo, per-channel gain, axis
+    permutation, per-channel ramp direction).
+
+    Real datasets' objects are visually DISTINCT — the LineMOD ape is dark,
+    the iron red/silver, the YCB mustard bottle yellow — and the
+    reference's segmenter learns class identity largely from albedo. A
+    single ramp shared by every object (the pre-round-5 behavior) renders
+    near-identical rainbow blobs, making class discrimination unlearnable
+    from RGB: the 13-way segmenter's exact-class fg-IoU stuck at 0.07
+    while binary foreground hit 0.92 (docs/PERF.md rounds 4-5). The ramp
+    itself stays: position-correlated shading is the orientation signal
+    the pose CNN trains on."""
+    pmin, pmax = model_mm.min(0), model_mm.max(0)
+    ramp = (model_mm - pmin) / np.maximum(pmax - pmin, 1e-6)
+    rng = np.random.default_rng((0xC0104, obj_seed))
+    base = rng.uniform(25, 115, 3)
+    gain = rng.uniform(70, 185, 3)
+    direction = rng.integers(0, 2, 3).astype(np.float64)  # per-channel flip
+    r = direction + (1.0 - 2.0 * direction) * ramp[:, rng.permutation(3)]
+    return np.clip(base + gain * r, 0, 255).astype(np.uint8)
+
+
 def _random_background(rng, img_h, img_w):
     """Smooth random gradient + noise background so models cannot key on a
     constant backdrop (domain-randomization-lite)."""
@@ -149,9 +173,9 @@ def generate_linemod_style_dataset(
         seg_dir = os.path.join(root, "segnet_results", f"{obj:02d}_label")
         os.makedirs(seg_dir, exist_ok=True)
 
-        # position-based coloring so the CNN has signal
-        pmin, pmax = model_mm.min(0), model_mm.max(0)
-        colors = (40 + 210 * (model_mm - pmin) / (pmax - pmin)).astype(np.uint8)
+        # position-based coloring (orientation signal) through a distinct
+        # per-object colorway (class signal — see object_colorway)
+        colors = object_colorway(model_mm, obj)
         if realism:
             # stable procedural surface texture (same across frames — it is
             # the OBJECT's texture): high-frequency sinusoid bands give the
@@ -352,8 +376,7 @@ def generate_ycb_style_dataset(root: str, n_classes: int = 3,
                           rng.uniform(0.7, 1.1)]) * 1000.0  # mm
             pts_cam = models_mm[cid] @ R.T + t
             m = models_mm[cid]
-            pmin, pmax = m.min(0), m.max(0)
-            colors = (40 + 200 * (m - pmin) / (pmax - pmin)).astype(np.uint8)
+            colors = object_colorway(m, cid)
             r_img, d_img, mask = _splat_render(pts_cam, colors, img_h, img_w,
                                                cam, splat=2)
             # composite nearer-than-existing pixels
