@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(linemod/cad); heads are sized to the subset")
     p.add_argument("--resume", default="",
                    help="checkpoint directory to resume from")
+    p.add_argument("--rss_restart_gb", type=float, default=48.0,
+                   help="save + exec-restart (with --resume) when process "
+                        "RSS exceeds this many GiB — guards multi-hour runs "
+                        "against host-side transfer-buffer leaks on "
+                        "remote-TPU transports (measured ~34 MB/s on the "
+                        "axon tunnel; a leak-free run never comes near "
+                        "this). 0 disables")
     p.add_argument("--out_dir", default="trained_models")
     p.add_argument("--log_dir", default="experiments/logs")
     p.add_argument("--seed", type=int, default=0)
@@ -96,6 +103,7 @@ def main(argv=None):
         decay_margin=args.decay_margin, refine_margin=args.refine_margin,
         noise_trans=args.noise_trans, refine_iters=args.iteration,
         nepoch=args.nepoch, crop_size=args.crop_size, seed=args.seed,
+        rss_restart_gb=args.rss_restart_gb,
         bf16_compute=args.bf16,
         remat_cnn=args.remat_cnn,
         out_dir=f"{args.out_dir}/{args.dataset}",
@@ -121,6 +129,28 @@ def main(argv=None):
     trainer.setup(resume=args.resume or None)
     with trace_context(args.trace_dir):
         trainer.run()
+
+    if trainer.restart_requested:
+        # leak-guard exec-restart: same interpreter + argv, resuming from
+        # the checkpoint saved immediately before the RSS check fired
+        # (train/loop.py:_check_rss). exec (not fork) so the leaked
+        # address space is fully returned to the OS. Only meaningful when
+        # argv came from the process command line — an embedding caller
+        # (tests, examples) gets the flag to act on instead.
+        import sys
+        current = os.path.join(cfg.out_dir, "checkpoint_current")
+        if argv is not None:
+            print(f"rss_restart_gb exceeded; state saved to {current} — "
+                  "embedded call, not exec-restarting", flush=True)
+            return trainer
+        cmd = list(sys.argv)
+        if "--resume" in cmd:
+            cmd[cmd.index("--resume") + 1] = current
+        else:
+            cmd += ["--resume", current]
+        print(f"exec-restarting: {' '.join(cmd)}", flush=True)
+        os.execv(sys.executable, [sys.executable] + cmd)
+    return trainer
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ batch-1 gradient accumulation, explicitly seeded data order, JSONL metrics.
 
 from __future__ import annotations
 
+import gc
 import os
 import time
 from typing import Callable, Optional
@@ -34,6 +35,24 @@ from densefusion_tpu.train.checkpoint import (
 )
 from densefusion_tpu.utils.config import RunConfig
 from densefusion_tpu.utils.logging import setup_logger, MetricsWriter
+
+
+class RestartRequested(Exception):
+    """Raised (and handled internally by :meth:`Trainer.run`) when the
+    process RSS crosses ``cfg.rss_restart_gb``: the trainer stops with a
+    fresh 'current' checkpoint and sets ``trainer.restart_requested`` so
+    its driver (``cli.train``) can exec-restart with ``--resume``."""
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) / 1048576.0
+    except OSError:
+        pass
+    return 0.0
 
 
 def build_dataset(cfg: RunConfig, mode: str, refine: bool):
@@ -74,6 +93,7 @@ class Trainer:
         self.shard_batch = shard_batch or (lambda b: b)
         self.curriculum = Curriculum(lr=cfg.lr, w=cfg.w)
         self.state: TrainState | None = None
+        self.restart_requested = False
         self.metrics = MetricsWriter(os.path.join(cfg.log_dir, "metrics.jsonl"))
         self.logger = setup_logger(
             "train", os.path.join(cfg.log_dir, "train_log.txt"))
@@ -180,8 +200,14 @@ class Trainer:
                         f"epoch {cur.epoch} batch {count} "
                         f"avg_dis {float(dis_sum) / count:.5f} "
                         f"({time.time() - t0:.1f}s)")
+                if count % 100 == 0:
+                    # break python ref cycles promptly: on remote-TPU
+                    # transports, host buffers pinned by cyclic garbage
+                    # are a per-step leak at batch-size granularity
+                    gc.collect()
                 if count % cfg.checkpoint_every_steps == 0:
                     self._save("current")
+                    self._check_rss()
             cur.batch_in_epoch = 0
         cur.rep_in_epoch = 0
         avg = float(dis_sum) / count if count else 0.0
@@ -221,6 +247,21 @@ class Trainer:
         path = os.path.join(self.cfg.out_dir, f"checkpoint_{tag}")
         save_checkpoint(path, self.state, self.curriculum, self.cfg)
 
+    def _check_rss(self) -> None:
+        """RSS self-restart guard (``cfg.rss_restart_gb``): called right
+        after a 'current' save, so the requested restart resumes at most
+        ``checkpoint_every_steps`` steps back."""
+        limit = self.cfg.rss_restart_gb
+        if not limit:
+            return
+        rss = _rss_gb()
+        if rss > limit:
+            self.logger.warning(
+                f"process RSS {rss:.1f} GiB > rss_restart_gb={limit}: "
+                "requesting exec-restart (leak guard; state just saved to "
+                "checkpoint_current)")
+            raise RestartRequested()
+
     # -- curriculum -------------------------------------------------------
 
     def run(self, max_epochs: int | None = None) -> None:
@@ -235,7 +276,13 @@ class Trainer:
         if max_epochs is not None:
             end_epoch = min(end_epoch, cur.epoch + max_epochs)
         while cur.epoch < end_epoch:
-            self.train_epoch()
+            try:
+                self.train_epoch()
+            except RestartRequested:
+                # mid-epoch leak-guard stop: 'current' was saved by the
+                # step-cadence save immediately before the check
+                self.restart_requested = True
+                return
             test_dis = self.test_epoch()
 
             if test_dis <= cur.best_test:
@@ -267,6 +314,11 @@ class Trainer:
             # steps than the cadence, which would leave no resumable
             # checkpoint at all on small datasets
             self._save("current")
+            try:
+                self._check_rss()
+            except RestartRequested:
+                self.restart_requested = True
+                return
 
             # operator-requested graceful stop: `touch <out_dir>/STOP`
             # ends the run at the next epoch boundary with best/current

@@ -46,6 +46,14 @@ class RunConfig:
     out_dir: str = "trained_models"
     log_dir: str = "experiments/logs"
     checkpoint_every_steps: int = 1000
+    # self-restart guard: when > 0 and the process RSS exceeds this many
+    # GiB at a checkpoint boundary, the trainer saves 'current' and asks
+    # its driver to exec-restart with --resume (train/loop.py). Defense
+    # against host-side buffer leaks outside our control (some remote-TPU
+    # client transports retain per-dispatch transfer buffers; measured
+    # ~34 MB/s on the axon tunnel, OOM-killing a 2h run at 110 GB RSS).
+    # 0 disables (library default); cli.train defaults it on.
+    rss_restart_gb: float = 0.0
     num_workers: int = 4
     # "process": fork workers + shared-memory sample ring (near-linear
     # scaling, linux only); "thread": GIL-sharing pool (safe everywhere)

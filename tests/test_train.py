@@ -140,3 +140,34 @@ def test_stop_file_graceful_stop(tiny_cfg, tmp_path):
     # stopped after epoch 1 of 3, with the resume checkpoint on disk
     assert tr.curriculum.epoch == 2
     assert os.path.isdir(os.path.join(cfg.out_dir, "checkpoint_current"))
+
+
+def test_rss_restart_guard(tiny_cfg, tmp_path):
+    """With rss_restart_gb set below the process's real RSS, run() stops at
+    the first epoch boundary with restart_requested and a resumable
+    checkpoint_current — the leak guard for multi-hour runs on transports
+    that retain per-dispatch host buffers (cli.train exec-restarts on the
+    flag). The STOP file also consumes correctly alongside it."""
+    import dataclasses
+    from densefusion_tpu.train import Trainer
+
+    cfg = dataclasses.replace(tiny_cfg, nepoch=3, objlist=(1,),
+                              rss_restart_gb=0.001,
+                              out_dir=str(tmp_path),
+                              log_dir=str(tmp_path / "logs"))
+    tr = Trainer(cfg, posenet=PoseNet(num_obj=1),
+                 refiner=PoseRefineNet(num_obj=1))
+    tr.setup()
+    tr.run()
+    assert tr.restart_requested is True
+    assert tr.curriculum.epoch == 2  # stopped after epoch 1 of 3
+    assert os.path.isdir(os.path.join(cfg.out_dir, "checkpoint_current"))
+
+    # a resume from that checkpoint picks up at epoch 2 (restart loop
+    # converges instead of replaying epoch 1 forever)
+    tr2 = Trainer(dataclasses.replace(cfg, rss_restart_gb=0.0),
+                  posenet=PoseNet(num_obj=1),
+                  refiner=PoseRefineNet(num_obj=1))
+    tr2.setup(resume=os.path.join(cfg.out_dir, "checkpoint_current"))
+    assert tr2.curriculum.epoch == 2
+    assert tr2.restart_requested is False
