@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="trained_models/segnet")
     p.add_argument("--log_dir", default="experiments/logs/segnet")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from <out_dir>/segnet_latest.msgpack "
+                        "(params + batch_stats + optimizer + epoch cursor, "
+                        "written every epoch)")
+    p.add_argument("--rss_restart_gb", type=float, default=48.0,
+                   help="save + exec-restart (--resume) when process RSS "
+                        "exceeds this many GiB at an epoch boundary — the "
+                        "same transfer-buffer-leak guard as cli.train "
+                        "(train/loop.py). 0 disables")
     return p
 
 
@@ -114,8 +123,47 @@ def main(argv=None):
     train_step = make_seg_train_step(segnet, tx, fg_weight=args.fg_weight)
     eval_step = make_seg_eval_step(segnet, fg_weight=args.fg_weight)
 
-    best = np.inf
-    for epoch in range(1, args.n_epochs + 1):
+    latest_path = os.path.join(args.out_dir, "segnet_latest.msgpack")
+    best, start_epoch = float(np.inf), 1
+    if args.resume and os.path.exists(latest_path):
+        with open(latest_path, "rb") as f:
+            restored = serialization.from_bytes(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state,
+                 "epoch": np.int32(0), "best": np.float32(0)}, f.read())
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"])
+        start_epoch = int(restored["epoch"]) + 1
+        best = float(restored["best"])
+        logger.info(f"resumed from {latest_path} at epoch {start_epoch} "
+                    f"(best {best:.4f})")
+
+    def check_rss_restart(epoch):
+        """Same leak guard as cli.train (train/loop.py:_check_rss): some
+        remote-TPU transports retain per-dispatch host buffers; a 480x640
+        seg epoch transfers GBs. State for THIS epoch is already in
+        segnet_latest.msgpack when this fires."""
+        if not args.rss_restart_gb or argv is not None:
+            return
+        try:
+            with open("/proc/self/status") as f:
+                rss_gb = next(int(ln.split()[1]) / 1048576.0 for ln in f
+                              if ln.startswith("VmRSS"))
+        except (OSError, StopIteration):
+            return
+        if rss_gb > args.rss_restart_gb:
+            import sys
+            logger.warning(
+                f"process RSS {rss_gb:.1f} GiB > "
+                f"rss_restart_gb={args.rss_restart_gb}: exec-restarting "
+                f"with --resume at epoch {epoch + 1}")
+            cmd = list(sys.argv)
+            if "--resume" not in cmd:
+                cmd.append("--resume")
+            os.execv(sys.executable, [sys.executable] + cmd)
+
+    for epoch in range(start_epoch, args.n_epochs + 1):
         losses = []
         for batch in PrefetchIterator(train_loader.epoch(epoch)):
             state, loss = train_step(state, batch.rgb, batch.label)
@@ -139,6 +187,15 @@ def main(argv=None):
                     {"params": state.params,
                      "batch_stats": state.batch_stats})))
             logger.info(f"epoch {epoch} BEST saved ({te:.4f})")
+        # resumable full state (failure recovery parity with cli.train)
+        tmp = latest_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "opt_state": state.opt_state,
+                 "epoch": np.int32(epoch), "best": np.float32(best)})))
+        os.replace(tmp, latest_path)
+        check_rss_restart(epoch)
 
 
 if __name__ == "__main__":

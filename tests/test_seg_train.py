@@ -130,3 +130,35 @@ def test_train_seg_recipe_defaults():
          "--lr", "1e-3", "--fg_weight", "2", "--batch_size", "4"]))
     assert (explicit.lr, explicit.fg_weight, explicit.batch_size) == \
         (1e-3, 2.0, 4)
+
+
+@pytest.mark.slow
+def test_train_seg_cli_resume(tmp_path):
+    """segnet_latest.msgpack carries params+batch_stats+optimizer+epoch:
+    a --resume run continues at the next epoch with best preserved (the
+    leak-guard exec-restart in cli.train_seg depends on this)."""
+    import json
+    import os
+
+    from densefusion_tpu.data import generate_linemod_style_dataset
+    from densefusion_tpu.cli import train_seg as train_seg_cli
+
+    root = str(tmp_path / "ds")
+    # full-size frames: the generator's pose sampling assumes the LineMOD
+    # camera's 640x480 principal point; tiny frames lose the object
+    generate_linemod_style_dataset(root, objlist=(1,), n_train=2,
+                                   n_test=10, seed=3)
+    out = str(tmp_path / "seg")
+    log = str(tmp_path / "logs")
+    common = ["--dataset_root", root, "--format", "linemod",
+              "--objlist", "1", "--batch_size", "2", "--workers", "1",
+              "--seed", "0", "--out_dir", out, "--log_dir", log]
+    train_seg_cli.main(common + ["--n_epochs", "2"])
+    assert os.path.exists(os.path.join(out, "segnet_latest.msgpack"))
+
+    train_seg_cli.main(common + ["--n_epochs", "3", "--resume"])
+    with open(os.path.join(log, "metrics.jsonl")) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    epochs = [r["epoch"] for r in rows if r.get("kind") == "seg_epoch"]
+    # first run logged 1,2; the resumed run logged ONLY epoch 3
+    assert epochs == [1, 2, 3]
