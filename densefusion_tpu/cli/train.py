@@ -149,6 +149,7 @@ def main(argv=None):
         else:
             cmd += ["--resume", current]
         print(f"exec-restarting: {' '.join(cmd)}", flush=True)
+        trainer.close()  # execv skips atexit: don't orphan fork workers
         os.execv(sys.executable, [sys.executable] + cmd)
     return trainer
 

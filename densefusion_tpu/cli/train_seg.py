@@ -161,6 +161,9 @@ def main(argv=None):
             cmd = list(sys.argv)
             if "--resume" not in cmd:
                 cmd.append("--resume")
+            # execv skips atexit: don't orphan the fork workers
+            train_loader.close()
+            test_loader.close()
             os.execv(sys.executable, [sys.executable] + cmd)
 
     for epoch in range(start_epoch, args.n_epochs + 1):

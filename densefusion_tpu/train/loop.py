@@ -243,6 +243,16 @@ class Trainer:
     def _phase(self) -> str:
         return "refine" if self.curriculum.refine_started else "pose"
 
+    def close(self) -> None:
+        """Shut down loader worker processes. MUST be called before an
+        exec-restart: ``os.execv`` replaces the process image without
+        running atexit/__del__, which would orphan the fork workers (and
+        their shared-memory rings) on every restart."""
+        for name in ("train_loader", "test_loader"):
+            loader = getattr(self, name, None)
+            if loader is not None:
+                loader.close()
+
     def _save(self, tag: str) -> None:
         path = os.path.join(self.cfg.out_dir, f"checkpoint_{tag}")
         save_checkpoint(path, self.state, self.curriculum, self.cfg)
