@@ -20,7 +20,15 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--iterations", type=int, default=4)
+    p.add_argument("--iterations", type=int, default=None,
+                   help="refiner composition depth at eval. Default: the "
+                        "checkpoint's TRAINED refine_iters (falling back "
+                        "to the reference's hardcoded 4, "
+                        "tools/eval_linemod.py:34). Measured (docs/PERF.md "
+                        "round 5): a refiner composed deeper at eval than "
+                        "it was trained diverges on predicted-mask clouds "
+                        "— the same checkpoint scored 0.61 at its trained "
+                        "depth 2 and 0.22 at 4")
     p.add_argument("--num_points", type=int, default=500)
     p.add_argument("--crop_size", type=int, default=192)
     p.add_argument("--batch_size", type=int, default=8)
@@ -68,6 +76,10 @@ def main(argv=None):
     from densefusion_tpu.train import peek_config
     from densefusion_tpu.train.checkpoint import clamp_refine_iters
     ck_cfg = peek_config(args.checkpoint)
+    if args.iterations is None:
+        args.iterations = getattr(ck_cfg, "refine_iters", None) or 4
+        logger.info(f"--iterations defaulting to the checkpoint's trained "
+                    f"composition depth: {args.iterations}")
     native = args.native_crops == "on" or (
         args.native_crops == "auto"
         and getattr(ck_cfg, "decoder", None) == "torch")

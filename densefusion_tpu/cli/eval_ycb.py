@@ -34,7 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--posecnn_results", required=True)
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--iterations", type=int, default=2)
+    p.add_argument("--iterations", type=int, default=None,
+                   help="refiner composition depth at eval. Default: the "
+                        "checkpoint's TRAINED refine_iters (falling back "
+                        "to the reference's 2, tools/eval_ycb.py:33) — a "
+                        "refiner composed deeper at eval than trained "
+                        "diverges (docs/PERF.md round 5)")
     p.add_argument("--num_points", type=int, default=1000)
     p.add_argument("--crop_size", type=int, default=192)
     p.add_argument("--num_keyframes", type=int, default=2949)
@@ -106,6 +111,10 @@ def main(argv=None):
         clamp_refine_iters, refiner_is_trained,
     )
     ck_cfg = peek_config(args.checkpoint)
+    if args.iterations is None:
+        args.iterations = getattr(ck_cfg, "refine_iters", None) or 2
+        logger.info(f"--iterations defaulting to the checkpoint's trained "
+                    f"composition depth: {args.iterations}")
     native = args.native_crops == "on" or (
         args.native_crops == "auto"
         and getattr(ck_cfg, "decoder", None) == "torch")

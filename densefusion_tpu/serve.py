@@ -61,8 +61,12 @@ class PoseEstimator:
     @classmethod
     def from_checkpoint(cls, path: str, num_obj: int,
                         num_points: int = 500, crop_size: int = 192,
-                        refine_iters: int = 2, bf16: bool = False,
+                        refine_iters: int | None = None, bf16: bool = False,
                         **kwargs) -> "PoseEstimator":
+        """``refine_iters=None`` (default) uses the checkpoint's TRAINED
+        composition depth (falling back to 2): running a refiner deeper at
+        serve time than it was trained diverges on predicted-mask clouds
+        (measured, docs/PERF.md round 5)."""
         import jax
         import jax.numpy as jnp
         from densefusion_tpu.models import PoseNet, PoseRefineNet
@@ -73,8 +77,10 @@ class PoseEstimator:
 
         dtype = jnp.bfloat16 if bf16 else None
         from densefusion_tpu.train.checkpoint import clamp_refine_iters
-        refine_iters = clamp_refine_iters(path, refine_iters)
         ck_cfg = peek_config(path)
+        if refine_iters is None:
+            refine_iters = getattr(ck_cfg, "refine_iters", None) or 2
+        refine_iters = clamp_refine_iters(path, refine_iters)
         flags = ck_cfg.decoder_flags() if ck_cfg is not None else {}
         posenet = PoseNet(num_obj=num_obj, dtype=dtype, **flags)
         refiner = PoseRefineNet(num_obj=num_obj, dtype=dtype)
