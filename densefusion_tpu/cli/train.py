@@ -150,7 +150,8 @@ def main(argv=None):
             cmd += ["--resume", current]
         print(f"exec-restarting: {' '.join(cmd)}", flush=True)
         trainer.close()  # execv skips atexit: don't orphan fork workers
-        os.execv(sys.executable, [sys.executable] + cmd)
+        from densefusion_tpu.utils.restart import reexec_self
+        reexec_self(cmd)
     return trainer
 
 

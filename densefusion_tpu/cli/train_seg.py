@@ -164,7 +164,8 @@ def main(argv=None):
             # execv skips atexit: don't orphan the fork workers
             train_loader.close()
             test_loader.close()
-            os.execv(sys.executable, [sys.executable] + cmd)
+            from densefusion_tpu.utils.restart import reexec_self
+            reexec_self(cmd)
 
     for epoch in range(start_epoch, args.n_epochs + 1):
         losses = []
