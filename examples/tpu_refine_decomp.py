@@ -95,6 +95,11 @@ def main(argv=None):
 
     from densefusion_tpu.models import PoseNet, PoseRefineNet
     from densefusion_tpu.losses.pose_loss import pose_loss, refiner_loss
+    from densefusion_tpu.utils import enable_persistent_compilation_cache
+
+    # the b=32 M=2600 refine-step compiles are multi-minute on the tunnel;
+    # cache them so an interrupted probe resumes at timing speed
+    enable_persistent_compilation_cache()
 
     b, n, m, crop, num_obj = 32, 1000, 2600, 192, 21
     if args.smoke:
