@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_points", type=int, default=1000)
     p.add_argument("--crop_size", type=int, default=192)
     p.add_argument("--num_keyframes", type=int, default=2949)
+    p.add_argument("--skip_done", action="store_true",
+                   help="frame dispatch: skip keyframes whose per-frame "
+                        "result .mat files already exist in the output "
+                        "dirs — resume a long eval in a fresh process "
+                        "(remote-tunnel transports leak host buffers at "
+                        "~1 GiB/min of dispatches; docs/PERF.md round 5)")
     p.add_argument("--output_dir", default="experiments/eval_result/ycb")
     p.add_argument("--plots", action="store_true",
                    help="write per-class accuracy-threshold figures")
@@ -204,6 +210,11 @@ def main(argv=None):
                                  return_unrefined=True)
         mesh_m = 500  # detections carry 500-point model clouds (ycb.py)
         for frame_idx in range(len(ds)):
+            wo_path = os.path.join(wo_dir, f"{frame_idx:04d}.mat")
+            it_path = os.path.join(it_dir, f"{frame_idx:04d}.mat")
+            if (args.skip_done and os.path.exists(wo_path)
+                    and os.path.exists(it_path)):
+                continue
             dets = ds.detections(frame_idx)
             # lost detections -> zero pose, matching the reference's
             # ZeroDivisionError fallback (tools/eval_ycb.py:234-237); the
@@ -226,10 +237,8 @@ def main(argv=None):
                 for j, (k, _) in enumerate(live):
                     wo_poses[k] = np.concatenate([q0[j], t0[j]]).tolist()
                     it_poses[k] = np.concatenate([q[j], t[j]]).tolist()
-            scio.savemat(os.path.join(wo_dir, f"{frame_idx:04d}.mat"),
-                         {"poses": wo_poses})
-            scio.savemat(os.path.join(it_dir, f"{frame_idx:04d}.mat"),
-                         {"poses": it_poses})
+            scio.savemat(wo_path, {"poses": wo_poses})
+            scio.savemat(it_path, {"poses": it_poses})
             if frame_idx % 100 == 0:
                 logger.info(f"Finish No.{frame_idx} keyframe")
     else:
